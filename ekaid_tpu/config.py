@@ -1,0 +1,312 @@
+"""Two-tier config system: dataclass defaults + strict YAML overlay.
+
+Re-designs the reference's global-AttrDict config (reference:
+model/configs/config.py:7-157 defaults, merge_cfg_from_file at :165,
+strict-keyed merge at :197-223, literal_eval coercion at :226-284) as
+immutable nested dataclasses. Unknown YAML keys raise, types are coerced
+the same way (numbers/strings/lists), and the resolved config serializes
+to JSON for the run directory (parity with train_mimic.py:93-94).
+
+TPU-native additions (no reference equivalent): a `mesh` section for
+device-mesh axes (data/model parallelism), and a `dtypes` section for the
+bf16/f32 policy — the reference hard-codes float32/float64
+(rcc_dataset_pos_mimic.py:180-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from ast import literal_eval
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import yaml
+
+
+def _frozen(cls):
+    return dataclass(frozen=True)(cls)
+
+
+@_frozen
+class ChangeDetectorConfig:
+    """Graph change-encoder knobs (reference yaml:6-17, config.py:44-58)."""
+
+    input_dim: int = 2052
+    dim: int = 128               # pooled-attention embed dim
+    feat_dim: int = 1026         # raw node feature dim + 2 (reference slices -2)
+    att_dim: int = 1024          # node feature dim after projection
+    att_head: int = 4
+    nongt_dim: int = 52          # attention width over the node axis
+    spa_label_num: int = 11
+    sem_label_num: int = 3
+    dir_num: int = 2
+    pos_emb_dim: int = 64
+    coef_sem: float = 0.333
+    coef_spa: float = 0.333
+    # How the three relation branches combine.
+    #  'sequential' — faithful to the reference as *executed*: the in-place
+    #    `exp_v += exp_v_rel` (relation_encoder.py:129,81) aliases the input,
+    #    so semantic→spatial→implicit run as cumulative residuals and the
+    #    coef mix (modules.py:233-235) is an identity. Verified empirically.
+    #  'parallel' — what the reference code *appears* to intend: three
+    #    independent branches mixed with coef_sem/coef_spa.
+    branch_mix: str = "sequential"
+    # GAT direction reduction.
+    #  'reference' — faithful to graph_att.py:95-102 where `output` is
+    #    overwritten per direction and then doubled: the final output is
+    #    2 * dir-1(transposed-adjacency) attention; dir-0 never contributes.
+    #  'sum' — self + both directions summed (the commented intent).
+    dir_reduce: str = "reference"
+
+
+@_frozen
+class SpeakerConfig:
+    """Answer-decoder knobs (reference yaml:18-23, config.py:66-86)."""
+
+    input_dim: int = 1024        # == change_detector.att_dim
+    rnn_size: int = 512
+    embed_input_dim: int = 3072  # 3 * input_dim (bef, diff, aft)
+    embed_dim: int = 1024
+    drop_prob_lm: float = 0.5
+    word_embed_size: int = 300
+    vocab_size: int = 148        # len(vocab)+1; overridden from data at build
+    seq_length: int = 90
+    pos_classes: int = 16        # POS head width (dynamic_speaker_change_pos.py:74)
+    decoding_constraint: int = 0  # _sample default cfg.get('decoding_contraint',0)
+    beam_size: int = 1
+    temperature: float = 1.0
+    # BOS token fed at step 0 of free-running decode. The reference primes
+    # with index 2 (dynamic_speaker_change_pos.py:272,311) even though the
+    # shipped vocab maps '<start>'->1; kept for parity.
+    bos_token: int = 2
+
+
+@_frozen
+class QuestionConfig:
+    """Question-encoder knobs (WordEmbedding/GRU/self-att, language_model.py)."""
+
+    max_len: int = 20
+    word_emb_dim: int = 300      # doubled by the dual-embedding 'c' op
+    hidden_dim: int = 1024       # == speaker.embed_dim in the shipped config
+    dropout_word: float = 0.0
+    dropout_att: float = 0.2
+    # The reference's QuestionSelfAttention softmaxes over the *batch* axis
+    # of a transposed score matrix and reshapes across batch rows
+    # (language_model.py:149) — an upstream VQA_ReGAT bug that scrambles
+    # attention across unrelated samples (verified empirically; at batch=1
+    # every weight degenerates to 1.0). That is not reproducible under data
+    # parallelism (it leaks across devices), so this rebuild implements the
+    # intended per-sample softmax over tokens. Documented deviation.
+    pass
+
+
+@_frozen
+class SplitDataConfig:
+    batch_size: int = 64
+    seq_per_img: int = 1
+    max_samples: Optional[int] = None
+    empty_image: bool = False
+
+
+@_frozen
+class DataConfig:
+    dataset: str = "mimic_diff_vqa"
+    num_nodes: int = 52          # 26 anatomy + 26 disease, padded fixed
+    node_one_num: int = 26
+    feature_dim: int = 1024
+    adj_pad: int = 100           # stored adjacency is 100x100, sliced live
+    vocab_json: str = "data/vocab_mimic_VQA.json"
+    splits_json: str = "data/splits_mimic_VQA.json"
+    h5_label_file: str = "data/VQA_mimic_dataset.h5"
+    feature_h5: str = "data/cmb_bbox_di_feats.hdf5"
+    gt_captions: str = "data/mimic_gt_captions_%s.json"
+    feature_mode: str = "both"   # both | single_ana | single_loc
+    num_workers: int = 4         # reference pins 0 (yaml:30); we prefetch
+    prefetch: int = 2
+    train: SplitDataConfig = field(default_factory=SplitDataConfig)
+    val: SplitDataConfig = field(
+        default_factory=lambda: SplitDataConfig(batch_size=64))
+    test: SplitDataConfig = field(
+        default_factory=lambda: SplitDataConfig(batch_size=64))
+
+
+@_frozen
+class OptimConfig:
+    """reference yaml:42-47 + utils/utils.py:82-101."""
+
+    type: str = "adam"
+    lr: float = 1e-4
+    alpha: float = 0.9           # Adam beta1 (torch betas=(alpha, beta))
+    beta: float = 0.999
+    epsilon: float = 1e-8
+    weight_decay: float = 0.0
+    step_size: int = 15          # epochs per lr decay step
+    gamma: float = 0.1
+    grad_clip: float = 0.0       # 0 = off (reference clip_gradient unused)
+
+
+@_frozen
+class TrainConfig:
+    max_iter: int = 40000
+    max_epoch: int = 20
+    snapshot_interval: int = 2000
+    log_interval: int = 50
+    scheduled_sampling_start: int = -1   # epoch; <0 disables (reference: 1e6)
+    scheduled_sampling_increase_every: int = 5
+    scheduled_sampling_increase_prob: float = 0.05
+    scheduled_sampling_max_prob: float = 0.25
+    graph: str = "all"           # all | semantic | spatial | implicit | i+s
+    setting: str = "mode2"
+    att_reg_weight: float = 2.5e-3   # train_mimic.py:247
+    seed: int = 1238
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+
+@_frozen
+class MeshConfig:
+    """Device-mesh layout (TPU-native; no reference equivalent — the
+    reference is single-GPU, SURVEY.md §2.4)."""
+
+    data: int = -1               # -1: all remaining devices
+    model: int = 1               # tensor-parallel width for wide matmuls
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@_frozen
+class DtypeConfig:
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    softmax_dtype: str = "float32"
+
+
+@_frozen
+class DetectorConfig:
+    """Faster R-CNN R50-FPN extraction path (reference train_anatomy.py:561-586,
+    ana_bbox_generator.py:433-466)."""
+
+    image_size: int = 1024
+    num_anatomy_classes: int = 26
+    num_disease_classes: int = 22
+    fpn_channels: int = 256
+    roi_feat_dim: int = 1024
+    pre_nms_topk: int = 1000
+    post_nms_topk: int = 1000
+    nms_thresh: float = 0.5
+    score_thresh: float = 0.0
+    proposals_per_image: int = 1000
+    roi_pool_size: int = 7
+    batch_size: int = 8          # reference is locked to 1 (hook scheme)
+
+
+@_frozen
+class Config:
+    exp_dir: str = "./experiments"
+    exp_name: str = ""
+    model_type: str = ""
+    change_detector: ChangeDetectorConfig = field(
+        default_factory=ChangeDetectorConfig)
+    speaker: SpeakerConfig = field(default_factory=SpeakerConfig)
+    question: QuestionConfig = field(default_factory=QuestionConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    dtypes: DtypeConfig = field(default_factory=DtypeConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def _decode_value(v: Any) -> Any:
+    """literal_eval coercion parity (reference configs/config.py:226-256)."""
+    if not isinstance(v, str):
+        return v
+    try:
+        return literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def _coerce(value: Any, old: Any, full_key: str) -> Any:
+    """Type coercion parity (reference configs/config.py:259-284)."""
+    if old is None or value is None:
+        return value
+    t_old, t_new = type(old), type(value)
+    if t_old is t_new:
+        return value
+    if isinstance(old, bool) and isinstance(value, int):
+        return bool(value)
+    if isinstance(old, float) and isinstance(value, int):
+        return float(value)
+    if isinstance(old, str):
+        return str(value)
+    if isinstance(old, tuple) and isinstance(value, list):
+        return tuple(value)
+    if isinstance(old, list) and isinstance(value, tuple):
+        return list(value)
+    raise ValueError(
+        f"Type mismatch ({t_old} vs {t_new}) with values ({old} vs {value}) "
+        f"for config key: {full_key}")
+
+
+def _merge_into(obj: Any, overrides: dict, stack: str = "") -> Any:
+    """Strict-key merge (reference _merge_a_into_b, configs/config.py:197-223):
+    every override key must already exist in the dataclass."""
+    if not dataclasses.is_dataclass(obj):
+        raise TypeError(f"cannot merge into non-dataclass at {stack!r}")
+    names = {f.name for f in dataclasses.fields(obj)}
+    updates = {}
+    for k, v in overrides.items():
+        full_key = f"{stack}.{k}" if stack else k
+        if k not in names:
+            raise KeyError(f"Non-existent config key: {full_key}")
+        cur = getattr(obj, k)
+        if isinstance(v, dict):
+            updates[k] = _merge_into(cur, v, full_key)
+        else:
+            v = _decode_value(v)
+            updates[k] = _coerce(v, cur, full_key)
+    return dataclasses.replace(obj, **updates)
+
+
+def merge_overrides(cfg: Config, overrides: dict) -> Config:
+    return _merge_into(cfg, overrides)
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Optional[dict] = None) -> Config:
+    """Build a Config from defaults + optional YAML overlay + dict overrides."""
+    cfg = default_config()
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            loaded = yaml.safe_load(f) or {}
+        cfg = merge_overrides(cfg, loaded)
+    if overrides:
+        cfg = merge_overrides(cfg, overrides)
+    return cfg
+
+
+def merge_from_list(cfg: Config, kv_list) -> Config:
+    """CLI-style dotted-key overrides (reference merge_cfg_from_list,
+    configs/config.py:177-194): ['train.optim.lr', '3e-4', ...]."""
+    assert len(kv_list) % 2 == 0, "override list must be key/value pairs"
+    nested: dict = {}
+    for key, val in zip(kv_list[0::2], kv_list[1::2]):
+        d = nested
+        parts = key.split(".")
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = val
+    return merge_overrides(cfg, nested)
