@@ -25,7 +25,10 @@ import yaml
 
 
 def _frozen(cls):
-    return dataclass(frozen=True)(cls)
+    cls = dataclass(frozen=True)(cls)
+    if not hasattr(cls, "replace"):
+        cls.replace = lambda self, **kw: dataclasses.replace(self, **kw)
+    return cls
 
 
 @_frozen

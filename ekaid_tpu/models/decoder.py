@@ -1,0 +1,277 @@
+"""Answer decoder: two-layer LSTM speaker as a single `lax.scan`.
+
+Parity target: model/models/dynamic_speaker_change_pos.py —
+  * DynamicCore (:42-131): module-attention LSTM producing 3-way softmax
+    weights over (bef, diff, aft); POS head pos1/weight_pos/pos2 (16
+    classes, :65-76,106-110); gated fused feature + word embedding into
+    the language LSTM.
+  * DynamicSpeaker (:139-357): teacher-forced `_forward` with scheduled
+    sampling (:182-222), greedy/multinomial `_sample` (:287-357) with
+    first-step NULL suppression, optional no-repeat constraint, and the
+    unfinished-mask early stop. The reference's per-token Python loop
+    (SURVEY.md §3.1 "HOT: Python-level step loop") becomes one scan whose
+    carried state is the two (h, c) pairs; the (bef, diff, aft) fusion
+    embedding is loop-invariant and hoisted out of the scan entirely.
+
+  The reference primes free-running decode with token index 2
+  (:272,311) although the shipped vocab maps '<start>'→1; `bos_token`
+  preserves that. Training consumes seq[:, 0] == '<start>' (=1).
+
+  The reference resamples dropout masks at every timestep (each
+  `nn.Dropout` call in the Python loop); per-step rng keys are threaded
+  through the scan as inputs to reproduce that, since `make_rng` inside a
+  traced scan body would freeze one mask for all steps.
+
+  The POS log-probs are returned for API parity but — exactly as in the
+  reference (train_mimic.py:235-247) — never enter the loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ekaid_tpu.models.layers import (DenseT, LSTMCell,
+                                     embedding_init_normal)
+from ekaid_tpu.models.layers import dropout as _drop
+from ekaid_tpu.utils.dtypes import Policy, F32
+
+
+class DynamicCore(nn.Module):
+    """One decode step (DynamicCore.forward, :94-131)."""
+
+    cfg: Any                      # SpeakerConfig
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, xt, fused_embed, feats, state,
+                 drop_key: Optional[jax.Array] = None):
+        """
+        xt:          [B, word_embed_size] current word embedding
+        fused_embed: [B, embed_dim] — self.embed(cat[bef, diff, aft]),
+                     loop-invariant, computed once by the speaker
+        feats:       [B, 3, input_dim] stacked (bef, diff, aft)
+        state:       dict h_mod/c_mod/h_lang/c_lang each [B, rnn_size]
+        drop_key:    per-step dropout key (None = eval)
+        """
+        c = self.cfg
+        cast = self.policy.cast_compute
+        keys = (jax.random.split(drop_key, 3)
+                if drop_key is not None else [None] * 3)
+
+        prev_h = state["h_lang"]
+        h_mod, c_mod = LSTMCell(c.rnn_size, policy=self.policy,
+                                name="module_att_lstm")(
+            jnp.concatenate([fused_embed, prev_h], axis=-1),
+            state["h_mod"], state["c_mod"])
+        module_weights = jax.nn.softmax(self.policy.cast_softmax(
+            DenseT(3, policy=self.policy, name="weight_fc")(h_mod)), axis=-1)
+
+        # POS head (:106-110)
+        vpos = _drop(nn.relu(DenseT(c.rnn_size, policy=self.policy,
+                                    name="pos1")(prev_h)),
+                     c.drop_prob_lm, keys[0])
+        dpos = _drop(DenseT(c.pos_classes, policy=self.policy,
+                            name="weight_pos")(vpos), 0.5, keys[1])
+        ppos = DenseT(c.rnn_size, policy=self.policy, name="pos2")(
+            cast(jax.nn.softmax(self.policy.cast_softmax(dpos), axis=-1)))
+
+        att_feat = jnp.einsum("bk,bkd->bd", cast(module_weights),
+                              cast(feats),
+                              preferred_element_type=self.policy.compute_dtype)
+
+        gate_in = jnp.concatenate([prev_h, ppos, att_feat], axis=-1)
+        gate_h = _drop(nn.relu(DenseT(gate_in.shape[-1], policy=self.policy,
+                                      name="gate1x")(gate_in)),
+                       c.drop_prob_lm, keys[2])
+        gate = nn.sigmoid(DenseT(c.input_dim, policy=self.policy,
+                                 name="gate2x")(gate_h))
+
+        h_lang, c_lang = LSTMCell(c.rnn_size, policy=self.policy,
+                                  name="lang_lstm")(
+            jnp.concatenate([xt, gate * att_feat], axis=-1),
+            state["h_lang"], state["c_lang"])
+
+        new_state = {"h_mod": h_mod, "c_mod": c_mod,
+                     "h_lang": h_lang, "c_lang": c_lang}
+        return h_lang, new_state, dpos, module_weights
+
+
+class DynamicSpeaker(nn.Module):
+    """Scan-based speaker (DynamicSpeaker parity)."""
+
+    cfg: Any                      # SpeakerConfig
+    policy: Policy = F32
+
+    def setup(self):
+        c = self.cfg
+        self.word_emb = self.param(
+            "word_emb", embedding_init_normal(),
+            (c.vocab_size, c.word_embed_size), self.policy.param_dtype)
+        self.fuse_embed = DenseT(c.embed_dim, policy=self.policy,
+                                 name="embed")
+        self.core = DynamicCore(c, policy=self.policy, name="core")
+        self.logit = DenseT(c.vocab_size, policy=self.policy, name="logit")
+
+    # ---------------------------------------------------------- helpers ---
+
+    def _embed_word(self, it, key: Optional[jax.Array]):
+        """self.embed Sequential(Embedding → ReLU → Dropout) (:153-156)."""
+        x = nn.relu(self.policy.cast_compute(self.word_emb[it]))
+        return _drop(x, self.cfg.drop_prob_lm, key)
+
+    def _fused(self, feat_bef, feat_diff, feat_aft,
+               key: Optional[jax.Array]):
+        cast = self.policy.cast_compute
+        embed_in = jnp.concatenate(
+            [cast(feat_bef), cast(feat_diff), cast(feat_aft)], axis=-1)
+        fused = _drop(nn.relu(self.fuse_embed(embed_in)),
+                      self.cfg.drop_prob_lm, key)
+        feats = jnp.stack([cast(feat_bef), cast(feat_diff), cast(feat_aft)],
+                          axis=1)
+        return fused, feats
+
+    def _init_state(self, batch: int):
+        z = jnp.zeros((batch, self.cfg.rnn_size), self.policy.compute_dtype)
+        return {"h_mod": z, "c_mod": z, "h_lang": z, "c_lang": z}
+
+    def _out_logprobs(self, h_lang, dpos, key: Optional[jax.Array]):
+        output = _drop(h_lang, self.cfg.drop_prob_lm, key)
+        logp = jax.nn.log_softmax(
+            self.policy.cast_softmax(self.logit(output)), axis=-1)
+        logp_pos = jax.nn.log_softmax(
+            self.policy.cast_softmax(dpos), axis=-1)
+        return logp, logp_pos
+
+    # ------------------------------------------------------------ modes ---
+
+    def teacher_forcing(self, feat_bef, feat_aft, feat_diff, seq,
+                        ss_prob: float = 0.0,
+                        train: bool = False) -> Dict[str, jnp.ndarray]:
+        """_forward parity (:182-222): teacher-forced log-probs.
+
+        seq: [B, T+1] int (seq[:, 0] == <start>); returns logprobs
+        [B, T, vocab] aligned so step i predicts seq[:, i+1].
+        Scheduled sampling replaces the input token with a sample from the
+        previous step's distribution with prob `ss_prob` (i >= 1).
+        """
+        c = self.cfg
+        B, T = feat_bef.shape[0], c.seq_length
+        use_ss = train and ss_prob > 0.0
+
+        if train:
+            rng = self.make_rng("dropout")
+            fuse_key, step_rng = jax.random.split(rng)
+            step_keys = jax.random.split(step_rng, (T, 3))
+        else:
+            fuse_key = None
+            step_keys = jnp.zeros((T,), jnp.int32)       # dummy scan input
+        if use_ss:
+            ss_keys = jax.random.split(self.make_rng("sample"), (T, 2))
+        else:
+            ss_keys = jnp.zeros((T,), jnp.int32)
+
+        fused, feats = self._fused(feat_bef, feat_diff, feat_aft, fuse_key)
+        state0 = self._init_state(B)
+        tokens = jnp.swapaxes(seq[:, :T], 0, 1)          # [T, B]
+
+        def step(carry, inp):
+            state, prev_logp = carry
+            it, kk, ssk, i = inp
+            if use_ss:
+                sample = jax.random.categorical(ssk[0], prev_logp,
+                                                axis=-1).astype(it.dtype)
+                coin = jax.random.uniform(ssk[1], (B,))
+                it = jnp.where((coin < ss_prob) & (i >= 1), sample, it)
+            k = [kk[j] for j in range(3)] if train else [None] * 3
+            xt = self._embed_word(it, k[0])
+            h_lang, state, dpos, mw = self.core(xt, fused, feats, state,
+                                                drop_key=k[1])
+            logp, logp_pos = self._out_logprobs(h_lang, dpos, k[2])
+            return (state, logp), (logp, logp_pos, mw)
+
+        prev_logp0 = jnp.zeros((B, c.vocab_size), self.policy.softmax_dtype)
+        idx = jnp.arange(T)
+
+        if self.is_mutable_collection("params"):
+            # init trace: one eager step materializes every parameter
+            (_, _), (logp, logp_pos, mw) = step(
+                (state0, prev_logp0),
+                (tokens[0], step_keys[0], ss_keys[0], idx[0]))
+            logps = jnp.broadcast_to(logp[:, None], (B, T) + logp.shape[1:])
+            logps_pos = jnp.broadcast_to(logp_pos[:, None],
+                                         (B, T) + logp_pos.shape[1:])
+            mws = jnp.broadcast_to(mw[:, None], (B, T, 3))
+        else:
+            _, (logps, logps_pos, mws) = jax.lax.scan(
+                step, (state0, prev_logp0), (tokens, step_keys, ss_keys,
+                                             idx))
+            logps = jnp.swapaxes(logps, 0, 1)            # [B, T, vocab]
+            logps_pos = jnp.swapaxes(logps_pos, 0, 1)
+            mws = jnp.swapaxes(mws, 0, 1)                # [B, T, 3]
+        return {"logprobs": logps, "pos_logprobs": logps_pos,
+                "module_weights": mws}
+
+    def sample(self, feat_bef, feat_aft, feat_diff,
+               sample_max: bool = True,
+               temperature: Optional[float] = None,
+               rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        """_sample parity (:287-357): free-running greedy/multinomial decode
+        (always eval-mode — the reference only calls it under no_grad).
+
+        Returns seq [B, T] int32 (0-terminated) and logprobs [B, T].
+        """
+        c = self.cfg
+        B, T = feat_bef.shape[0], c.seq_length
+        temp = temperature if temperature is not None else c.temperature
+
+        if rng is None:
+            rng = (jax.random.PRNGKey(0) if sample_max
+                   else self.make_rng("sample"))
+        keys = jax.random.split(rng, T)
+
+        fused, feats = self._fused(feat_bef, feat_diff, feat_aft, None)
+        state0 = self._init_state(B)
+        bos = jnp.full((B,), c.bos_token, jnp.int32)
+        vocab_iota = jnp.arange(c.vocab_size)
+
+        def step(carry, inp):
+            state, it, unfinished = carry
+            t, key = inp
+            xt = self._embed_word(it, None)
+            h_lang, state, dpos, _ = self.core(xt, fused, feats, state,
+                                               drop_key=None)
+            logp, _ = self._out_logprobs(h_lang, dpos, None)
+            # first-step NULL suppression (:319-322)
+            logp = jnp.where((t == 0) & (vocab_iota == 0)[None],
+                             -jnp.inf, logp)
+            if c.decoding_constraint:
+                # no-repeat of the previous emitted token (:324-327)
+                banned = (vocab_iota[None] == it[:, None]) & (t > 0)
+                logp = jnp.where(banned, -jnp.inf, logp)
+            if sample_max:
+                nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                lp = jnp.max(logp, axis=-1)
+            else:
+                nxt = jax.random.categorical(key, logp / temp,
+                                             axis=-1).astype(jnp.int32)
+                lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            unfinished = unfinished & (nxt > 0)           # (:346-349)
+            nxt = nxt * unfinished.astype(nxt.dtype)
+            return (state, nxt, unfinished), (nxt, lp)
+
+        if self.is_mutable_collection("params"):
+            carry = (state0, bos, jnp.ones((B,), bool))
+            _, (tok, lp) = step(carry, (jnp.int32(0), keys[0]))
+            seq = jnp.broadcast_to(tok[:, None], (B, T))
+            lps = jnp.broadcast_to(lp[:, None], (B, T))
+        else:
+            _, (seq, lps) = jax.lax.scan(
+                step, (state0, bos, jnp.ones((B,), bool)),
+                (jnp.arange(T), keys))
+            seq = jnp.swapaxes(seq, 0, 1)
+            lps = jnp.swapaxes(lps, 0, 1)
+        return {"seq": seq, "logprobs": lps}

@@ -1,0 +1,113 @@
+"""Full difference-VQA model: ChangeDetector + DynamicSpeaker in one module.
+
+This is the single XLA program the reference assembles from two separately
+driven torch modules (train_mimic.py:229-247: change_detector forward →
+speaker._forward → losses). Batches are dicts of padded, fixed-shape
+tensors (SURVEY.md §7 step 1):
+
+  d_feats / q_feats   [B, N, feat]   main/reference node features
+  d_adj / q_adj       [B, P, P] int  spatial adjacency labels 0..11
+  d_sem_adj / …       [B, P, P] int  semantic adjacency labels 0..2
+  d_bb / q_bb         [B, N, 4]      normalized boxes
+  question            [B, Lq] int
+  labels              [B, T+1] int   <start> + answer tokens (train only)
+  masks               [B, T+1]       1 over tokens + the EOS slot
+
+The adjacency one-hot broadcast (process_matrix, mimic_utils.py:141-149),
+which the reference re-runs on device every step, happens inside the jit
+where XLA folds it into the consuming einsum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ekaid_tpu.models.change_detector import ChangeDetector
+from ekaid_tpu.models.decoder import DynamicSpeaker
+from ekaid_tpu.ops.graph import broadcast_adjacency
+from ekaid_tpu.utils.dtypes import Policy, F32
+
+
+class EkaidModel(nn.Module):
+    cfg: Any                      # full Config
+    ntoken: int                   # len(word_to_idx) — question vocab
+    policy: Policy = F32
+
+    def setup(self):
+        c = self.cfg
+        self.change_detector = ChangeDetector(
+            c.change_detector, speaker_embed_dim=c.speaker.embed_dim,
+            ntoken=self.ntoken, graph=c.train.graph, policy=self.policy,
+            name="change_detector")
+        self.speaker = DynamicSpeaker(c.speaker, policy=self.policy,
+                                      name="speaker")
+
+    def _adjacencies(self, batch):
+        c = self.cfg.change_detector
+        n = batch["d_feats"].shape[1]
+        dt = self.policy.compute_dtype
+        return (
+            broadcast_adjacency(batch["d_adj"], c.spa_label_num, n, dt),
+            broadcast_adjacency(batch["q_adj"], c.spa_label_num, n, dt),
+            broadcast_adjacency(batch["d_sem_adj"], c.sem_label_num, n, dt),
+            broadcast_adjacency(batch["q_sem_adj"], c.sem_label_num, n, dt),
+        )
+
+    def encode(self, batch, train: bool = False) -> Dict[str, jnp.ndarray]:
+        d_adj, q_adj, d_sem, q_sem = self._adjacencies(batch)
+        return self.change_detector(
+            batch["d_feats"], batch["q_feats"], d_adj, q_adj, d_sem, q_sem,
+            batch["d_bb"], batch["q_bb"], batch["question"], train=train)
+
+    def __call__(self, batch, ss_prob: float = 0.0, train: bool = False):
+        """Training/teacher-forced path; returns encoder + speaker outputs."""
+        enc = self.encode(batch, train=train)
+        dec = self.speaker.teacher_forcing(
+            enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
+            batch["labels"], ss_prob=ss_prob, train=train)
+        return {**enc, **dec}
+
+    def decode(self, batch, sample_max: bool = True,
+               temperature: Optional[float] = None,
+               rng: Optional[jax.Array] = None):
+        """Eval/inference path (test_mimic.py:116-119 parity)."""
+        enc = self.encode(batch, train=False)
+        dec = self.speaker.sample(
+            enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
+            sample_max=sample_max, temperature=temperature, rng=rng)
+        return {**enc, **dec}
+
+
+def language_model_loss(logprobs, targets, masks) -> jnp.ndarray:
+    """Masked NLL (LanguageModelCriterion, model/utils/utils.py:204-216):
+    -sum(logp[target] * mask) / sum(mask).
+
+    logprobs: [B, T, V]; targets/masks: [B, >=T] (truncated to T).
+    """
+    T = logprobs.shape[1]
+    targets = targets[:, :T]
+    masks = masks[:, :T].astype(logprobs.dtype)
+    picked = jnp.take_along_axis(logprobs, targets[..., None],
+                                 axis=-1)[..., 0]
+    return -jnp.sum(picked * masks) / jnp.maximum(jnp.sum(masks), 1.0)
+
+
+def attention_regularizer(att_bef, att_aft) -> jnp.ndarray:
+    """Sigmoid-attention sparsity term (train_mimic.py:246-247):
+    (sum(att_bef) + sum(att_aft)) / (2 * batch)."""
+    b = att_bef.shape[0]
+    return (jnp.sum(att_bef.astype(jnp.float32))
+            + jnp.sum(att_aft.astype(jnp.float32))) / (2.0 * b)
+
+
+def total_loss(outputs, batch, att_reg_weight: float = 2.5e-3):
+    """train_mimic.py:242-247: NLL over labels[:, 1:] + attention term."""
+    lang = language_model_loss(outputs["logprobs"], batch["labels"][:, 1:],
+                               batch["masks"][:, 1:])
+    att = attention_regularizer(outputs["att_bef"], outputs["att_aft"])
+    return lang + att_reg_weight * att, {"speaker_loss": lang,
+                                         "att_reg": att}

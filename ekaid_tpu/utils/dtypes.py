@@ -1,0 +1,51 @@
+"""Mixed-precision policy for TPU.
+
+The reference runs float32 weights with float64 adjacency data
+(rcc_dataset_pos_mimic.py:180-185, cast to float at graph_att.py:74).
+On TPU the profitable policy is bf16 compute / f32 params / f32 softmax;
+this module centralizes that decision so every model module agrees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+_NAMES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+    "float64": jnp.float64,
+}
+
+
+def canonical(name_or_dtype):
+    if isinstance(name_or_dtype, str):
+        return _NAMES[name_or_dtype]
+    return name_or_dtype
+
+
+@dataclass(frozen=True)
+class Policy:
+    param_dtype: object = jnp.float32
+    compute_dtype: object = jnp.bfloat16
+    softmax_dtype: object = jnp.float32
+
+    @classmethod
+    def from_config(cls, dtype_cfg) -> "Policy":
+        return cls(
+            param_dtype=canonical(dtype_cfg.param_dtype),
+            compute_dtype=canonical(dtype_cfg.compute_dtype),
+            softmax_dtype=canonical(dtype_cfg.softmax_dtype),
+        )
+
+    def cast_compute(self, x):
+        return jnp.asarray(x, self.compute_dtype)
+
+    def cast_softmax(self, x):
+        return jnp.asarray(x, self.softmax_dtype)
+
+
+F32 = Policy(compute_dtype=jnp.float32)
+BF16 = Policy()

@@ -1,0 +1,190 @@
+"""Model forward/decode smoke + semantics tests (batch=1 CPU, f32).
+
+Covers SURVEY.md §4's golden-shape layer: every module at small batch,
+plus invariants derivable from the reference semantics (masking, EOS
+stopping, loss masking, scheduled-sampling plumbing).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekaid_tpu.config import default_config
+from ekaid_tpu.data.synthetic import synthetic_batch
+from ekaid_tpu.models.ekaid import (EkaidModel, language_model_loss,
+                                    total_loss)
+from ekaid_tpu.utils.dtypes import F32
+
+VOCAB = 148
+NTOKEN = 147
+
+
+def tiny_config():
+    cfg = default_config()
+    return cfg.replace(
+        change_detector=cfg.change_detector.replace(
+            att_dim=64, att_head=4, dim=16, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=64, rnn_size=32, embed_input_dim=192, embed_dim=64,
+            word_embed_size=24, vocab_size=VOCAB, seq_length=12),
+        data=cfg.data.replace(num_nodes=8, feature_dim=48, adj_pad=20),
+        question=cfg.question.replace(hidden_dim=64),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 2, seed=1))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "sample": jax.random.PRNGKey(2)},
+        batch, train=True)
+    return cfg, model, batch, params
+
+
+def test_forward_shapes(setup):
+    cfg, model, batch, params = setup
+    out = model.apply(params, batch, train=False)
+    B, T, V = 2, cfg.speaker.seq_length, VOCAB
+    assert out["logprobs"].shape == (B, T, V)
+    assert out["pos_logprobs"].shape == (B, T, 16)
+    assert out["module_weights"].shape == (B, T, 3)
+    assert out["pred"].shape == (B, 6)
+    assert out["att_bef"].shape == (B, 1, cfg.data.num_nodes)
+    assert out["feat_diff"].shape == (B, cfg.change_detector.att_dim)
+    # logprobs are a valid log-distribution
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out["logprobs"])).sum(-1), 1.0, rtol=1e-4)
+    # module weights softmax to 1
+    np.testing.assert_allclose(
+        np.asarray(out["module_weights"]).sum(-1), 1.0, rtol=1e-4)
+    # attention weights are sigmoid outputs
+    att = np.asarray(out["att_bef"])
+    assert ((att > 0) & (att < 1)).all()
+
+
+def test_forward_deterministic_eval(setup):
+    _, model, batch, params = setup
+    o1 = model.apply(params, batch, train=False)
+    o2 = model.apply(params, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(o1["logprobs"]),
+                                  np.asarray(o2["logprobs"]))
+
+
+def test_train_dropout_stochastic(setup):
+    _, model, batch, params = setup
+    rngs1 = {"dropout": jax.random.PRNGKey(10)}
+    rngs2 = {"dropout": jax.random.PRNGKey(11)}
+    o1 = model.apply(params, batch, train=True, rngs=rngs1)
+    o2 = model.apply(params, batch, train=True, rngs=rngs2)
+    assert not np.allclose(np.asarray(o1["logprobs"]),
+                           np.asarray(o2["logprobs"]))
+
+
+def test_decode_greedy(setup):
+    cfg, model, batch, params = setup
+    out = model.apply(params, batch, method="decode", sample_max=True)
+    seq = np.asarray(out["seq"])
+    assert seq.shape == (2, cfg.speaker.seq_length)
+    assert seq.dtype == np.int32
+    # 0-terminated: after the first 0, everything is 0 (unfinished mask)
+    for row in seq:
+        if (row == 0).any():
+            first = int(np.argmax(row == 0))
+            assert (row[first:] == 0).all()
+    # greedy decode is deterministic
+    out2 = model.apply(params, batch, method="decode", sample_max=True)
+    np.testing.assert_array_equal(seq, np.asarray(out2["seq"]))
+
+
+def test_decode_multinomial(setup):
+    _, model, batch, params = setup
+    o1 = model.apply(params, batch, method="decode", sample_max=False,
+                     rng=jax.random.PRNGKey(3))
+    o2 = model.apply(params, batch, method="decode", sample_max=False,
+                     rng=jax.random.PRNGKey(4))
+    assert not np.array_equal(np.asarray(o1["seq"]), np.asarray(o2["seq"]))
+
+
+def test_language_model_loss_masking():
+    logp = jnp.log(jnp.full((1, 3, 4), 0.25))
+    tgt = jnp.asarray([[1, 2, 3]])
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    loss = language_model_loss(logp, tgt, mask)
+    np.testing.assert_allclose(float(loss), -np.log(0.25), rtol=1e-6)
+
+
+def test_total_loss_finite(setup):
+    cfg, model, batch, params = setup
+    out = model.apply(params, batch, train=False)
+    loss, aux = total_loss(out, batch, cfg.train.att_reg_weight)
+    assert np.isfinite(float(loss))
+    assert float(aux["speaker_loss"]) > 0
+    assert float(aux["att_reg"]) > 0
+
+
+def test_gradients_flow(setup):
+    cfg, model, batch, params = setup
+
+    def loss_fn(p):
+        out = model.apply(p, batch, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(5)})
+        return total_loss(out, batch, cfg.train.att_reg_weight)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.sum(g * g)),
+                                        grads))
+    assert all(np.isfinite(flat))
+    total_sq = float(np.sum(flat))
+    assert total_sq > 0
+    # the frozen word-embedding copy must receive zero gradient
+    fixed_g = grads["params"]["change_detector"]["question"][
+        "WordEmbedding_0"]["emb_fixed"]
+    assert float(jnp.abs(fixed_g).max()) == 0.0
+
+
+def test_scheduled_sampling_path(setup):
+    cfg, model, batch, params = setup
+    out = model.apply(
+        params, batch, ss_prob=0.5, train=True,
+        rngs={"dropout": jax.random.PRNGKey(6),
+              "sample": jax.random.PRNGKey(7)})
+    assert np.isfinite(np.asarray(out["logprobs"])).all()
+
+
+def test_graph_variants_build():
+    cfg = tiny_config()
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 1, seed=2))
+    for graph in ["semantic", "spatial", "implicit", "i+s"]:
+        c = cfg.replace(train=cfg.train.replace(graph=graph))
+        model = EkaidModel(c, ntoken=NTOKEN, policy=F32)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+        out = model.apply(params, batch, train=False)
+        assert np.isfinite(np.asarray(out["logprobs"])).all(), graph
+
+
+def test_branch_mix_and_dir_reduce_variants():
+    cfg = tiny_config()
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 1, seed=3))
+    outs = {}
+    for mix in ["sequential", "parallel"]:
+        for dr in ["reference", "sum"]:
+            c = cfg.replace(change_detector=cfg.change_detector.replace(
+                branch_mix=mix, dir_reduce=dr))
+            model = EkaidModel(c, ntoken=NTOKEN, policy=F32)
+            params = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+            out = model.apply(params, batch, train=False)
+            outs[(mix, dr)] = np.asarray(out["feat_diff"])
+            assert np.isfinite(outs[(mix, dr)]).all()
+    # the variants genuinely differ
+    assert not np.allclose(outs[("sequential", "reference")],
+                           outs[("parallel", "reference")])
+    assert not np.allclose(outs[("sequential", "reference")],
+                           outs[("sequential", "sum")])
