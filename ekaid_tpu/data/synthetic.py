@@ -55,7 +55,7 @@ def synthetic_batch(cfg, batch_size: int, seed: int = 0,
             axis=1).astype(np.int64),
     }
     if with_labels:
-        lengths = rng.integers(3, t // 2, batch_size)
+        lengths = rng.integers(1, max(2, t // 2), batch_size)
         labels = np.zeros((batch_size, t + 1), np.int64)
         masks = np.zeros((batch_size, t + 1), np.float32)
         labels[:, 0] = 1                      # <start>

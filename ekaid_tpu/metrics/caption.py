@@ -1,0 +1,277 @@
+"""Native caption metrics: BLEU-4, ROUGE-L, CIDEr, METEOR-lite.
+
+Replaces the reference's pycocoevalcap stack (model/evaluation.py:1-7:
+PTBTokenizer + Bleu(4)/Meteor/Rouge/Cider — C/Java underneath) with pure
+Python reimplementations of the published algorithms, since the metric
+side is host-bound and not perf-critical (SURVEY.md §2.3).
+
+Semantics follow the COCO caption evaluation definitions:
+  * BLEU — corpus-level, clipped n-gram precision, 'closest' effective
+    reference length for the brevity penalty (ties prefer the shorter).
+  * ROUGE-L — per-image max LCS precision/recall over references,
+    F-beta with beta = 1.2, averaged over images.
+  * CIDEr — tf-idf n-gram cosine for n = 1..4, idf from the reference
+    corpus, Gaussian length penalty sigma = 6, scores scaled by 10.
+  * METEOR — DOCUMENTED DEVIATION: the reference invokes the METEOR-1.5
+    Java jar (synonym/paraphrase stages need WordNet + paraphrase
+    tables, unavailable here). `meteor_lite` implements the exact +
+    Porter-stem match stages with the standard parameters
+    (alpha=.9, beta=3, gamma=.5), best-reference per segment, averaged.
+    Scores are comparable run-to-run within this framework but not
+    numerically identical to Java METEOR.
+
+Tokenization mirrors PTBTokenizer's observable behavior on this corpus:
+lowercase, split, drop pure-punctuation tokens.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+PUNCT = {"{", "}", "(", ")", "[", "]", ".", ",", ";", ":", "-", "--",
+         "...", "!", "?", "'", "`", '"', "''", "``", "&", "*", "#", "$",
+         "%", "@", "+", "=", "/", "\\", "~", "^", "_", "|", "<", ">"}
+
+_WORD_RE = re.compile(r"[^\s]+")
+
+
+def ptb_tokenize(text: str) -> List[str]:
+    """Lowercase, whitespace-split, separate trailing punctuation, then
+    drop punctuation-only tokens (PTBTokenizer-equivalent for this
+    corpus's already-space-separated captions)."""
+    out = []
+    for tok in _WORD_RE.findall(text.lower()):
+        # split leading/trailing punctuation clusters
+        m = re.match(r"^([\"'`(\[{]*)(.*?)([\"'`)\]}.,;:!?]*)$", tok)
+        core = m.group(2) if m else tok
+        if core and core not in PUNCT:
+            out.append(core)
+    return out
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n])
+                   for i in range(len(tokens) - n + 1))
+
+
+# ------------------------------------------------------------------ BLEU ---
+
+def bleu(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
+         max_n: int = 4) -> Tuple[List[float], Dict[str, List[float]]]:
+    """Corpus BLEU_1..max_n. gts: id -> list of reference token lists;
+    res: id -> candidate token list. Returns (corpus scores, per-image)."""
+    tiny, small = 1e-15, 1e-9
+    correct = [0.0] * max_n
+    guess = [0.0] * max_n
+    cand_len = 0
+    eff_ref_len = 0
+    per_image: Dict[str, List[float]] = {}
+
+    for img, cand in res.items():
+        refs = gts[img]
+        c = len(cand)
+        cand_len += c
+        # closest ref length; ties -> shorter
+        eff = min((abs(len(r) - c), len(r)) for r in refs)[1]
+        eff_ref_len += eff
+
+        img_correct, img_guess = [], []
+        for n in range(1, max_n + 1):
+            cnt = _ngrams(cand, n)
+            maxref: Counter = Counter()
+            for r in refs:
+                for ng, k in _ngrams(r, n).items():
+                    maxref[ng] = max(maxref[ng], k)
+            corr = sum(min(k, maxref[ng]) for ng, k in cnt.items())
+            gs = max(0, c - n + 1)
+            correct[n - 1] += corr
+            guess[n - 1] += gs
+            img_correct.append(corr)
+            img_guess.append(gs)
+        # per-image score (with its own BP)
+        scores = []
+        bp_i = 1.0 if c > eff else math.exp(1 - eff / max(c, 1))
+        logp = 0.0
+        for n in range(max_n):
+            p = (img_correct[n] + tiny) / (img_guess[n] + small)
+            logp += math.log(p)
+            scores.append(math.exp(logp / (n + 1)) * bp_i)
+        per_image[img] = scores
+
+    bp = 1.0 if cand_len > eff_ref_len else (
+        math.exp(1 - eff_ref_len / max(cand_len, 1)))
+    out = []
+    logp = 0.0
+    for n in range(max_n):
+        p = (correct[n] + tiny) / (guess[n] + small)
+        logp += math.log(p)
+        out.append(math.exp(logp / (n + 1)) * bp)
+    return out, per_image
+
+
+# --------------------------------------------------------------- ROUGE-L ---
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(gts, res, beta: float = 1.2):
+    """Mean ROUGE-L F-beta; per-image max precision/recall over refs."""
+    scores = {}
+    for img, cand in res.items():
+        if not cand:
+            scores[img] = 0.0
+            continue
+        precs, recs = [], []
+        for ref in gts[img]:
+            lcs = _lcs_len(ref, cand)
+            precs.append(lcs / len(cand))
+            recs.append(lcs / len(ref) if ref else 0.0)
+        p, r = max(precs), max(recs)
+        scores[img] = ((1 + beta ** 2) * p * r / (r + beta ** 2 * p)
+                       if p and r else 0.0)
+    mean = sum(scores.values()) / max(len(scores), 1)
+    return mean, scores
+
+
+# ----------------------------------------------------------------- CIDEr ---
+
+def cider(gts, res, max_n: int = 4, sigma: float = 6.0):
+    """CIDEr-D-style tf-idf n-gram similarity (Vedantam et al.)."""
+    # document frequency over the reference corpus
+    df: Counter = Counter()
+    for refs in gts.values():
+        seen = set()
+        for r in refs:
+            for n in range(1, max_n + 1):
+                seen.update(_ngrams(r, n).keys())
+        df.update(seen)
+    log_n_imgs = math.log(max(len(gts), 1))
+
+    def vec(tokens):
+        vecs, norms = [], []
+        for n in range(1, max_n + 1):
+            v = {}
+            sq = 0.0
+            for ng, k in _ngrams(tokens, n).items():
+                idf = log_n_imgs - math.log(max(1.0, df[ng]))
+                v[ng] = k * idf
+                sq += v[ng] ** 2
+            vecs.append(v)
+            norms.append(math.sqrt(sq))
+        return vecs, norms, len(tokens)
+
+    scores = {}
+    for img, cand in res.items():
+        hv, hn, hl = vec(cand)
+        total = 0.0
+        for ref in gts[img]:
+            rv, rn, rl = vec(ref)
+            delta = float(hl - rl)
+            sim = 0.0
+            for n in range(max_n):
+                val = sum(min(hv[n].get(ng, 0.0), rv[n][ng]) * rv[n][ng]
+                          for ng in rv[n])
+                if hn[n] and rn[n]:
+                    val /= hn[n] * rn[n]
+                val *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+                sim += val
+            total += sim / max_n
+        scores[img] = 10.0 * total / max(len(gts[img]), 1)
+    mean = sum(scores.values()) / max(len(scores), 1)
+    return mean, scores
+
+
+# ---------------------------------------------------------- METEOR-lite ---
+
+def _porter(word: str) -> str:
+    try:
+        from nltk.stem.porter import PorterStemmer
+        return PorterStemmer().stem(word)
+    except Exception:
+        return word
+
+
+class _Stem:
+    """Memoized Porter stemmer (nltk's algorithm is pure code — no data)."""
+
+    def __init__(self):
+        self.cache: Dict[str, str] = {}
+        try:
+            from nltk.stem.porter import PorterStemmer
+            self._s = PorterStemmer().stem
+        except Exception:
+            self._s = lambda w: w
+
+    def __call__(self, w: str) -> str:
+        if w not in self.cache:
+            self.cache[w] = self._s(w)
+        return self.cache[w]
+
+
+_STEM = _Stem()
+
+
+def _meteor_align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
+    """(matches, chunks) via exact then stemmed greedy alignment."""
+    ref_used = [False] * len(ref)
+    align = [-1] * len(hyp)
+    # stage 1: exact
+    for i, h in enumerate(hyp):
+        for j, r in enumerate(ref):
+            if not ref_used[j] and h == r:
+                align[i] = j
+                ref_used[j] = True
+                break
+    # stage 2: stem
+    hs = [_STEM(h) for h in hyp]
+    rs = [_STEM(r) for r in ref]
+    for i, h in enumerate(hs):
+        if align[i] >= 0:
+            continue
+        for j, r in enumerate(rs):
+            if not ref_used[j] and h == r:
+                align[i] = j
+                ref_used[j] = True
+                break
+    pairs = [(i, j) for i, j in enumerate(align) if j >= 0]
+    m = len(pairs)
+    chunks = 0
+    prev = None
+    for i, j in pairs:
+        if prev is None or j != prev + 1:
+            chunks += 1
+        prev = j
+    return m, chunks
+
+
+def meteor_lite(gts, res, alpha: float = 0.9, beta: float = 3.0,
+                gamma: float = 0.5):
+    """Exact+stem METEOR; per-image best reference, averaged."""
+    scores = {}
+    for img, cand in res.items():
+        best = 0.0
+        for ref in gts[img]:
+            m, ch = _meteor_align(cand, ref)
+            if m == 0 or not cand or not ref:
+                continue
+            p = m / len(cand)
+            r = m / len(ref)
+            fmean = p * r / (alpha * p + (1 - alpha) * r)
+            frag = ch / m
+            score = fmean * (1 - gamma * frag ** beta)
+            best = max(best, score)
+        scores[img] = best
+    mean = sum(scores.values()) / max(len(scores), 1)
+    return mean, scores

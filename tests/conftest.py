@@ -7,11 +7,18 @@ devices, so multi-chip code paths are exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # force: the env presets 'axon' (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU plugin and calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter boot, which
+# outranks the env var — undo it before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,115 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The TPU-native substitute for distributed-backend tests (SURVEY.md §4):
+full train step jitted over data×model meshes, checking loss equivalence
+against the single-device path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekaid_tpu.config import default_config
+from ekaid_tpu.data.synthetic import synthetic_batch
+from ekaid_tpu.models.ekaid import EkaidModel
+from ekaid_tpu.parallel.mesh import make_mesh, shard_batch
+from ekaid_tpu.train.step import (init_state, make_jitted_steps,
+                                  make_optimizer)
+from ekaid_tpu.utils.dtypes import F32
+
+
+def tiny_config():
+    cfg = default_config()
+    return cfg.replace(
+        change_detector=cfg.change_detector.replace(
+            att_dim=32, att_head=4, dim=8, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=32, rnn_size=16, embed_input_dim=96, embed_dim=32,
+            word_embed_size=8, vocab_size=148, seq_length=6),
+        data=cfg.data.replace(num_nodes=6, feature_dim=24, adj_pad=10),
+        question=cfg.question.replace(hidden_dim=32),
+    )
+
+
+def build(cfg, batch_size, seed=0):
+    model = EkaidModel(cfg, ntoken=147, policy=F32)
+    batch = jax.tree.map(jnp.asarray,
+                         synthetic_batch(cfg, batch_size, seed=seed))
+    tx = make_optimizer(cfg.train.optim)
+    state = init_state(model, tx, batch, jax.random.PRNGKey(0))
+    return model, batch, tx, state
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+@pytest.mark.parametrize("data,model_ax", [(8, 1), (4, 2)])
+def test_sharded_train_step_runs(data, model_ax):
+    cfg = tiny_config()
+    model, batch, tx, state = build(cfg, batch_size=8)
+    mesh = make_mesh(data=data, model=model_ax)
+    jit_train, jit_eval, state = make_jitted_steps(
+        model, tx, cfg.train.att_reg_weight, mesh, state, batch)
+    batch = shard_batch(mesh, batch)
+    state, metrics = jit_train(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+    out = jit_eval(state, batch)
+    assert out["seq"].shape == (8, cfg.speaker.seq_length)
+
+
+def test_dp_matches_single_device_loss():
+    """The sharded step must compute the same loss/grads as unsharded."""
+    cfg = tiny_config()
+    model, batch, tx, state0 = build(cfg, batch_size=8)
+
+    # single-device reference (mesh 1x1 on one device)
+    mesh1 = make_mesh(devices=jax.devices()[:1], data=1, model=1)
+    jt1, _, s1 = make_jitted_steps(model, tx, cfg.train.att_reg_weight,
+                                   mesh1, state0, batch)
+    s1, m1 = jt1(s1, shard_batch(mesh1, batch), jax.random.PRNGKey(1))
+
+    model2, batch2, tx2, state2 = build(cfg, batch_size=8)
+    mesh8 = make_mesh(data=8, model=1)
+    jt8, _, s8 = make_jitted_steps(model2, tx2, cfg.train.att_reg_weight,
+                                   mesh8, state2, batch2)
+    s8, m8 = jt8(s8, shard_batch(mesh8, batch2), jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m8["total_loss"]), rtol=2e-5)
+    # parameters after one step agree
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_tp_params_actually_sharded():
+    cfg = tiny_config()
+    model, batch, tx, state = build(cfg, batch_size=8)
+    mesh = make_mesh(data=4, model=2)
+    _, _, state = make_jitted_steps(model, tx, cfg.train.att_reg_weight,
+                                    mesh, state, batch)
+    logit_kernel = state.params["params"]["speaker"]["logit"]["kernel"]
+    spec = logit_kernel.sharding.spec
+    assert spec == jax.sharding.PartitionSpec(None, "model"), spec
+
+
+def test_loss_decreases_over_steps():
+    cfg = tiny_config()
+    cfg = cfg.replace(train=cfg.train.replace(
+        optim=cfg.train.optim.replace(lr=3e-3)))
+    model, batch, tx, state = build(cfg, batch_size=8)
+    mesh = make_mesh(data=8, model=1)
+    jit_train, _, state = make_jitted_steps(
+        model, tx, cfg.train.att_reg_weight, mesh, state, batch)
+    batch = shard_batch(mesh, batch)
+    losses = []
+    rng = jax.random.PRNGKey(2)
+    for _ in range(60):
+        state, metrics = jit_train(state, batch, rng)
+        losses.append(float(metrics["speaker_loss"]))
+    assert losses[-1] < losses[0] * 0.6, losses[::15]
