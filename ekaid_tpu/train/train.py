@@ -1,0 +1,276 @@
+"""Training driver (train_mimic.py parity, TPU-native).
+
+CLI mirrors the reference's flags (train_mimic.py:32-49): --cfg YAML,
+--graph, --feature_mode, --lr, --seed, --eval_target; plus --synthetic
+for a no-data smoke run and --workdir. The loop structure follows
+train_mimic.py:187-384: epoch scheduler step, scheduled-sampling ramp,
+per-iter step/logging, snapshot + greedy-decode eval + caption metrics
+every snapshot_interval, best checkpoint on Bleu_1.
+
+Differences by design (documented):
+  * one jitted, donated, mesh-sharded train step instead of per-tensor
+    .to(device) + backward (train_mimic.py:213-269);
+  * optimizer state checkpoints with the params (the reference drops it);
+  * metrics come from the native evaluator (ekaid_tpu.metrics), not the
+    pycocoevalcap Java stack.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekaid_tpu.config import Config, load_config, default_config
+from ekaid_tpu.data.pipeline import (DiffVQADataset, H5FeatureStore,
+                                     Loader, synthetic_dataset)
+from ekaid_tpu.data.vocab import Vocabulary
+from ekaid_tpu.metrics.coco import CaptionEvaluator, CocoCaptions
+from ekaid_tpu.models.ekaid import EkaidModel
+from ekaid_tpu.parallel.mesh import make_mesh, shard_batch
+from ekaid_tpu.train.step import (init_state, make_jitted_steps,
+                                  make_optimizer)
+from ekaid_tpu.utils.checkpoint import CheckpointManager
+from ekaid_tpu.utils.dtypes import Policy, canonical
+
+
+def identity_vocab(vocab_size: int) -> Vocabulary:
+    """Synthetic vocab: token i ↔ 'w<i>' (plus '<start>' at 1)."""
+    words = {"<start>": 1}
+    for i in range(2, vocab_size):
+        words[f"w{i}"] = i
+    return Vocabulary(words)
+
+
+def ss_prob_for_epoch(cfg, epoch: int) -> float:
+    """Scheduled-sampling ramp (train_mimic.py:195-202)."""
+    t = cfg.train
+    if t.scheduled_sampling_start < 0 or epoch <= t.scheduled_sampling_start:
+        return 0.0
+    frac = ((epoch - t.scheduled_sampling_start)
+            // t.scheduled_sampling_increase_every)
+    return min(t.scheduled_sampling_increase_prob * frac,
+               t.scheduled_sampling_max_prob)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, workdir: str,
+                 train_ds: DiffVQADataset, eval_ds: DiffVQADataset,
+                 vocab: Vocabulary,
+                 gt_annotations: Optional[dict] = None):
+        self.cfg = cfg
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        cfg.to_json(os.path.join(workdir, "cfg.json"))
+
+        self.vocab = vocab
+        self.train_ds = train_ds
+        self.eval_ds = eval_ds
+        self.gt_annotations = gt_annotations
+
+        policy = Policy(
+            param_dtype=canonical(cfg.dtypes.param_dtype),
+            compute_dtype=canonical(cfg.dtypes.compute_dtype),
+            softmax_dtype=canonical(cfg.dtypes.softmax_dtype))
+        # vocab size flows from the data (train_mimic.py:148)
+        speaker_cfg = cfg.speaker.replace(vocab_size=vocab.size)
+        self.cfg = cfg = cfg.replace(speaker=speaker_cfg)
+        self.model = EkaidModel(cfg, ntoken=len(vocab.word_to_idx),
+                                policy=policy)
+
+        steps_per_epoch = max(1, len(train_ds) // train_ds.batch_size)
+        self.steps_per_epoch = steps_per_epoch
+        self.tx = make_optimizer(cfg.train.optim, steps_per_epoch)
+
+        self.mesh = make_mesh(cfg.mesh)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        example = self._device_batch(next(iter(Loader(
+            train_ds, batch_size=train_ds.batch_size, shuffle=False))))
+        state = init_state(self.model, self.tx, example, init_rng)
+        self.jit_train, self.jit_eval, self.state = make_jitted_steps(
+            self.model, self.tx, cfg.train.att_reg_weight, self.mesh,
+            state, example)
+        self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
+        self.best = self.ckpt.best_metric()
+
+    def _device_batch(self, batch) -> Dict:
+        batch = {k: v for k, v in batch.items() if k != "pair_index"}
+        return jax.tree.map(jnp.asarray, batch)
+
+    # ------------------------------------------------------------ train ---
+
+    def train(self, log_every: Optional[int] = None,
+              eval_fraction: Optional[int] = None) -> Dict:
+        cfg = self.cfg
+        log_every = log_every or cfg.train.log_interval
+        t = int(self.state.step)
+        epoch = t // self.steps_per_epoch
+        last_metrics: Dict = {}
+        loader = Loader(self.train_ds, shuffle=True, seed=cfg.train.seed)
+
+        while t < cfg.train.max_iter:
+            ss_prob = ss_prob_for_epoch(cfg, epoch)
+            for batch in loader:
+                it_start = time.time()
+                pair_index = batch["pair_index"]
+                del pair_index
+                device_batch = shard_batch(self.mesh,
+                                           self._device_batch(batch))
+                self.state, metrics = self.jit_train(
+                    self.state, device_batch, self.rng)
+                t += 1
+                if t % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["iter_time"] = time.time() - it_start
+                    print(f"epoch {epoch} iter {t} "
+                          + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                    last_metrics = m
+                if t % cfg.train.snapshot_interval == 0:
+                    self.snapshot_and_eval(t, max_batches=eval_fraction)
+                if t >= cfg.train.max_iter:
+                    break
+            epoch += 1
+        return last_metrics
+
+    # ------------------------------------------------------------- eval ---
+
+    def snapshot_and_eval(self, t: int,
+                          max_batches: Optional[int] = None) -> Dict:
+        self.ckpt.save(self.state, config_dict=self.cfg.to_dict())
+        scores, predictions = self.evaluate(max_batches=max_batches)
+        print(f"eval @ {t}: "
+              + " ".join(f"{k}={v:.3f}" for k, v in scores.items()))
+        out = os.path.join(self.workdir, "eval_sents")
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, f"eval_results_{t}.json"), "w") as f:
+            json.dump([{"caption": v, "image_id": k}
+                       for k, v in predictions.items()], f)
+        if scores.get("Bleu_1", 0.0) > self.best:
+            self.best = scores["Bleu_1"]
+            self.ckpt.save_best(self.state, self.best,
+                                config_dict=self.cfg.to_dict())
+            print("Best checkpoint saved")
+        return scores
+
+    def evaluate(self, max_batches: Optional[int] = None):
+        """Greedy decode over the eval split + caption metrics
+        (train_mimic.py:292-375 parity)."""
+        loader = Loader(self.eval_ds, shuffle=False, pad_final=True)
+        predictions: Dict[str, str] = {}
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            pair_index = batch["pair_index"]
+            out = self.jit_eval(self.state,
+                                shard_batch(self.mesh,
+                                            self._device_batch(batch)))
+            seqs = np.asarray(out["seq"])
+            for j, sent in enumerate(self.vocab.decode_batch(seqs)):
+                predictions[str(int(pair_index[j]))] = sent
+
+        if not predictions:
+            return {k: 0.0 for k in CaptionEvaluator.METRICS}, predictions
+        gts = self._gt_annotations(predictions)
+        res = CocoCaptions(annotations={"annotations": [
+            {"image_id": k, "caption": v, "id": k}
+            for k, v in predictions.items()]})
+        ev = CaptionEvaluator(CocoCaptions(annotations=gts), res)
+        return ev.evaluate(), predictions
+
+    def _gt_annotations(self, predictions) -> dict:
+        if self.gt_annotations is not None:
+            keep = set(predictions)
+            return {"annotations": [
+                a for a in self.gt_annotations["annotations"]
+                if str(a["image_id"]) in keep]}
+        # synthetic: ground truth from the dataset's own answer rows
+        annos = []
+        for k in predictions:
+            idx = int(k)
+            caption = self.vocab.decode(self.eval_ds.answers[idx][1:])
+            annos.append({"image_id": k, "id": k,
+                          "caption": caption or "no change"})
+        return {"annotations": annos}
+
+
+def build_synthetic_trainer(cfg: Config, workdir: str,
+                            n_pairs: int = 512) -> Trainer:
+    vocab = identity_vocab(cfg.speaker.vocab_size)
+    train_ds = synthetic_dataset(cfg, "train", n_pairs=n_pairs)
+    eval_ds = synthetic_dataset(cfg, "test", n_pairs=n_pairs)
+    return Trainer(cfg, workdir, train_ds, eval_ds, vocab)
+
+
+def build_trainer(cfg: Config, workdir: str,
+                  eval_target: str = "test") -> Trainer:
+    vocab = Vocabulary.load(cfg.data.vocab_json)
+    store = H5FeatureStore(cfg.data.feature_h5)
+    npz = os.path.join(os.path.dirname(cfg.data.vocab_json),
+                       "vqa_dataset.npz")
+    train_ds = DiffVQADataset(cfg, store, "train", npz_path=npz,
+                              splits_path=cfg.data.splits_json, vocab=vocab)
+    eval_ds = DiffVQADataset(cfg, store, eval_target, npz_path=npz,
+                             splits_path=cfg.data.splits_json, vocab=vocab)
+    gt_path = cfg.data.gt_captions % eval_target
+    with open(gt_path) as f:
+        gt = json.load(f)
+    return Trainer(cfg, workdir, train_ds, eval_ds, vocab,
+                   gt_annotations=gt)
+
+
+def main(argv=None):
+    from ekaid_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description="EKAID-TPU training")
+    p.add_argument("--cfg", default=None, help="YAML config overlay")
+    p.add_argument("--graph", default="all",
+                   choices=["implicit", "semantic", "spatial", "all",
+                            "i+s"])
+    p.add_argument("--feature_mode", default="both",
+                   choices=["both", "location", "single_ana", "single_loc"])
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--eval_target", default="test",
+                   choices=["test", "val"])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--max_iter", type=int, default=None)
+    p.add_argument("--snapshot_interval", type=int, default=None)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--eval_batches", type=int, default=None,
+                   help="cap eval batches per snapshot")
+    a = p.parse_args(argv)
+
+    cfg = load_config(a.cfg) if a.cfg else default_config()
+    train_over = {"graph": a.graph}
+    if a.lr is not None:
+        train_over["optim"] = cfg.train.optim.replace(lr=a.lr)
+    if a.seed is not None:
+        train_over["seed"] = a.seed
+    if a.max_iter is not None:
+        train_over["max_iter"] = a.max_iter
+    if a.snapshot_interval is not None:
+        train_over["snapshot_interval"] = a.snapshot_interval
+    cfg = cfg.replace(train=cfg.train.replace(**train_over),
+                      data=cfg.data.replace(feature_mode=a.feature_mode))
+
+    exp = f"mode2_{a.feature_mode}_{a.graph}_{cfg.train.optim.lr}"
+    workdir = a.workdir or os.path.join(cfg.exp_dir, "temp", exp)
+
+    if a.synthetic:
+        trainer = build_synthetic_trainer(cfg, workdir)
+    else:
+        trainer = build_trainer(cfg, workdir, a.eval_target)
+    trainer.train(eval_fraction=a.eval_batches)
+    trainer.snapshot_and_eval(int(trainer.state.step),
+                              max_batches=a.eval_batches)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Platform selection helper.
+
+The container's sitecustomize registers the axon TPU plugin and sets
+jax_platforms='axon,cpu' at interpreter boot, which outranks the
+JAX_PLATFORMS env var. EKAID_PLATFORM=cpu (optionally with
+EKAID_HOST_DEVICES=N) forces the CPU backend before any computation —
+used by CLIs for data-pipeline smoke runs and multi-device CPU tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_env() -> None:
+    plat = os.environ.get("EKAID_PLATFORM")
+    if not plat:
+        return
+    n = os.environ.get("EKAID_HOST_DEVICES")
+    if n:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+    import jax
+    jax.config.update("jax_platforms", plat)

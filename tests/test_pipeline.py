@@ -1,0 +1,182 @@
+"""Data pipeline, vocab/tokenizer, preprocessing, checkpoint tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ekaid_tpu.config import default_config
+from ekaid_tpu.data.pipeline import (DiffVQADataset, Loader,
+                                     SyntheticFeatureStore,
+                                     synthetic_dataset)
+from ekaid_tpu.data.preprocess import transform_questions
+from ekaid_tpu.data.vocab import Vocabulary, pos_tag_lite, treebank_tokenize
+
+
+def small_cfg():
+    cfg = default_config()
+    return cfg.replace(
+        data=cfg.data.replace(num_nodes=8, feature_dim=16, adj_pad=12,
+                              train=cfg.data.train.replace(batch_size=4),
+                              test=cfg.data.test.replace(batch_size=4)),
+        speaker=cfg.speaker.replace(seq_length=10),
+    )
+
+
+# ----------------------------------------------------------- tokenizer ---
+
+def test_treebank_tokenize():
+    assert treebank_tokenize("What has changed?") == \
+        ["what", "has", "changed", "?"]
+    assert treebank_tokenize("yes, it is.") == ["yes", ",", "it", "is", "."]
+    assert treebank_tokenize("x-ray shows edema") == \
+        ["x-ray", "shows", "edema"]
+
+
+def test_vocab_build_insertion_order():
+    v = Vocabulary.build([["what", "has"], ["has", "changed"]])
+    assert v.word_to_idx == {"<start>": 1, "what": 2, "has": 3,
+                             "changed": 4}
+    assert v.size == 5
+
+
+def test_vocab_encode_decode_roundtrip():
+    v = Vocabulary.build([["no", "change", "."]])
+    ids = v.encode(["<start>", "no", "change", "."], max_len=6)
+    assert ids == [1, 2, 3, 4, 0, 0]
+    assert v.decode(ids) == "<start> no change ."
+    assert v.decode([2, 3, 0, 4]) == "no change"   # stops at first 0
+
+
+def test_pos_tag_lite_covers_all_tokens():
+    toks = ["the", "opacity", "has", "increased", "."]
+    tags = pos_tag_lite(toks)
+    assert len(tags) == len(toks)
+    assert all(t > 0 for t in tags)
+
+
+# ----------------------------------------------------------- pipeline ---
+
+def test_synthetic_dataset_sample_schema():
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=32)
+    s = ds.sample(0)
+    assert s["d_feats"].shape == (8, 16)
+    assert s["d_adj"].shape == (12, 12)
+    assert s["labels"].shape == (11,)
+    assert s["labels"][0] == 1                      # <start>
+    assert s["masks"].sum() == (s["labels"] != 0).sum() + 1
+    assert s["question"].shape == (cfg.question.max_len,)
+
+
+def test_loader_batching_and_shuffle():
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=40)   # train split = 32
+    loader = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    b1 = list(loader)
+    b2 = list(loader)    # next epoch reshuffles
+    assert len(b1) == 8
+    assert b1[0]["d_feats"].shape == (4, 8, 16)
+    assert not np.array_equal(b1[0]["pair_index"], b2[0]["pair_index"])
+    # determinism per (seed, epoch)
+    loader2 = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    b1b = list(loader2)
+    np.testing.assert_array_equal(b1[0]["pair_index"],
+                                  b1b[0]["pair_index"])
+
+
+def test_loader_covers_all_indices_once():
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=40)
+    loader = Loader(ds, batch_size=4, shuffle=False)
+    seen = np.concatenate([b["pair_index"] for b in loader])
+    np.testing.assert_array_equal(np.sort(seen), np.sort(ds.split_idxs))
+
+
+def test_feature_mode_single_ana():
+    cfg = small_cfg().replace()
+    cfg = cfg.replace(data=cfg.data.replace(feature_mode="single_ana",
+                                            node_one_num=4))
+    ds = synthetic_dataset(cfg, "train", n_pairs=8)
+    s = ds.sample(0)
+    assert s["d_feats"].shape == (4, 16)
+    assert s["d_bb"].shape == (4, 4)
+
+
+def test_feature_mode_single_loc_moves_adj():
+    cfg = small_cfg()
+    cfg = cfg.replace(data=cfg.data.replace(feature_mode="single_loc",
+                                            node_one_num=4))
+    ds = synthetic_dataset(cfg, "train", n_pairs=8)
+    store_rec = ds.store.get(int(ds.feature_idx[0][0]))
+    s = ds.sample(0)
+    # features come from the tail block, bb from the head block
+    np.testing.assert_array_equal(s["d_feats"], store_rec["feats"][-4:])
+    np.testing.assert_array_equal(s["d_bb"], store_rec["bb"][:4])
+    # adjacency block 3 moved into position 1
+    np.testing.assert_array_equal(
+        s["d_adj"][:4, 4:], store_rec["adj"][8:12, 4:])
+
+
+# --------------------------------------------------------- preprocess ---
+
+def test_transform_questions(tmp_path):
+    import pandas as pd
+    df = pd.DataFrame({
+        "question": ["what has changed?", "is there edema?"] * 5,
+        "answer": ["nothing has changed.", "yes"] * 5,
+        "question_type": ["difference", "abnormality"] * 5,
+        "study_id": list(range(10)),
+        "ref_id": list(range(10, 20)),
+    })
+    csv = tmp_path / "q.csv"
+    df.to_csv(csv, index=False)
+    paths = transform_questions(str(csv), str(tmp_path / "out"))
+    data = np.load(paths["npz"])
+    assert data["questions"].shape == (10, 20)
+    assert data["answers"].shape == (10, 90)
+    assert data["answers"][0][0] == 1               # <start>
+    vocab = Vocabulary.load(paths["vocab"])
+    assert vocab.decode(data["questions"][0]) == "what has changed ?"
+    splits = json.load(open(paths["splits"]))
+    assert len(splits["train"]) == 8
+    assert len(splits["val"]) == 1 and len(splits["test"]) == 1
+    gt = json.load(open(paths["gt_test"]))
+    assert gt["annotations"][0]["image_id"] == "9"
+
+
+# ---------------------------------------------------------- checkpoint ---
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.models.ekaid import EkaidModel
+    from ekaid_tpu.train.step import init_state, make_optimizer
+    from ekaid_tpu.utils.checkpoint import CheckpointManager, abstract_like
+    from ekaid_tpu.data.synthetic import synthetic_batch
+    from ekaid_tpu.utils.dtypes import F32
+
+    cfg = small_cfg()
+    cfg = cfg.replace(
+        change_detector=cfg.change_detector.replace(
+            att_dim=32, att_head=4, dim=8, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=32, rnn_size=16, embed_input_dim=96, embed_dim=32,
+            word_embed_size=8, seq_length=10),
+        question=cfg.question.replace(hidden_dim=32))
+    model = EkaidModel(cfg, ntoken=147, policy=F32)
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 2, seed=0))
+    tx = make_optimizer(cfg.train.optim)
+    state = init_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    mgr.save(state, config_dict=cfg.to_dict())
+    restored = mgr.restore(abstract_like(state))
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.latest_step() == 0
+    # best-checkpoint bookkeeping
+    mgr.save_best(restored, 0.42)
+    assert mgr.best_metric() == 0.42
