@@ -75,6 +75,8 @@ class SyntheticFeatureStore(FeatureStore):
         self.n = n_images
 
     def get(self, idx: int) -> Dict[str, np.ndarray]:
+        # xp=np: this runs inside prefetch worker threads, which must not
+        # touch JAX (device work belongs to the main thread)
         from ekaid_tpu.ops.graph import spatial_adjacency
         d = self.cfg.data
         rng = np.random.default_rng(idx)
@@ -85,7 +87,7 @@ class SyntheticFeatureStore(FeatureStore):
         bb = np.stack([x1, y1, np.minimum(x1 + w, 1024.0),
                        np.minimum(y1 + h, 1024.0)], -1).astype(np.float32)
         adj = np.zeros((d.adj_pad, d.adj_pad), np.int32)
-        adj[:d.num_nodes, :d.num_nodes] = np.asarray(spatial_adjacency(bb))
+        adj[:d.num_nodes, :d.num_nodes] = spatial_adjacency(bb, xp=np)
         sem = np.zeros((d.adj_pad, d.adj_pad), np.int32)
         sem[:d.num_nodes, :d.num_nodes] = rng.integers(
             0, 3, (d.num_nodes, d.num_nodes))
@@ -240,14 +242,26 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    q.put(_collate([self.ds.sample(int(i)) for i in idxs]))
+                    if not put(_collate([self.ds.sample(int(i))
+                                         for i in idxs])):
+                        return
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

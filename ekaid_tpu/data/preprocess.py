@@ -108,11 +108,16 @@ def save_coco_format(df: pd.DataFrame, splits: Dict, out_dir: str
     for name, split in splits.items():
         annos, images = [], []
         for index in split:
-            annos.append({
+            anno = {
                 "id": str(index), "image_id": str(index), "category_id": 0,
                 "caption": df["answer"][index],
                 "question": df["question"][index],
-            })
+            }
+            # extension over the reference format: keep the type so score
+            # analysis needs no side-channel CSV (evaluate_score.py:104)
+            if "question_type" in df.columns:
+                anno["question_type"] = df["question_type"][index]
+            annos.append(anno)
             images.append({"id": str(index)})
         path = os.path.join(out_dir, f"mimic_gt_captions_{name}.json")
         with open(path, "w") as f:

@@ -34,8 +34,8 @@ def synthetic_batch(cfg, batch_size: int, seed: int = 0,
     q_bb = boxes(batch_size)
     d_adj = np.zeros((batch_size, pad, pad), np.int64)
     q_adj = np.zeros((batch_size, pad, pad), np.int64)
-    d_adj[:, :n, :n] = np.asarray(spatial_adjacency(d_bb))
-    q_adj[:, :n, :n] = np.asarray(spatial_adjacency(q_bb))
+    d_adj[:, :n, :n] = spatial_adjacency(d_bb, xp=np)
+    q_adj[:, :n, :n] = spatial_adjacency(q_bb, xp=np)
     d_sem = np.zeros((batch_size, pad, pad), np.int64)
     q_sem = np.zeros((batch_size, pad, pad), np.int64)
     d_sem[:, :n, :n] = rng.integers(0, 3, (batch_size, n, n))

@@ -41,9 +41,9 @@ import jax
 import jax.numpy as jnp
 
 # Label-reversal table (reference reverse_type, ana_bbox_generator.py:278-296):
-# 0->0, 1<->2, 3->3, sectors 4..11 rotate by 4 (180°).
-_REVERSE_TABLE = jnp.asarray([0, 2, 1, 3, 8, 9, 10, 11, 4, 5, 6, 7],
-                             dtype=jnp.int32)
+# 0->0, 1<->2, 3->3, sectors 4..11 rotate by 4 (180°). Kept as a plain list
+# so importing this module (and host pipeline threads) never touches JAX.
+_REVERSE_TABLE = (0, 2, 1, 3, 8, 9, 10, 11, 4, 5, 6, 7)
 
 
 def _split_boxes(boxes: jnp.ndarray):
@@ -54,20 +54,22 @@ def _split_boxes(boxes: jnp.ndarray):
     return x1, y1, x2, y2
 
 
-def pairwise_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_iou(boxes_a, boxes_b, xp=jnp):
     """All-pairs IoU with the reference's +1 pixel convention
     (get_iou, ana_bbox_generator.py:213-240).
 
-    boxes_a: [..., N, 4], boxes_b: [..., M, 4] -> [..., N, M]
+    boxes_a: [..., N, 4], boxes_b: [..., M, 4] -> [..., N, M].
+    `xp` selects the array module (jnp on device, numpy for host-side
+    pipeline threads that must not touch JAX).
     """
     ax1, ay1, ax2, ay2 = _split_boxes(boxes_a[..., :, None, :])
     bx1, by1, bx2, by2 = _split_boxes(boxes_b[..., None, :, :])
-    ixmin = jnp.maximum(ax1, bx1)
-    ixmax = jnp.minimum(ax2, bx2)
-    iymin = jnp.maximum(ay1, by1)
-    iymax = jnp.minimum(ay2, by2)
-    iw = jnp.maximum(ixmax - ixmin + 1.0, 0.0)
-    ih = jnp.maximum(iymax - iymin + 1.0, 0.0)
+    ixmin = xp.maximum(ax1, bx1)
+    ixmax = xp.minimum(ax2, bx2)
+    iymin = xp.maximum(ay1, by1)
+    iymax = xp.minimum(ay2, by2)
+    iw = xp.maximum(ixmax - ixmin + 1.0, 0.0)
+    ih = xp.maximum(iymax - iymin + 1.0, 0.0)
     inter = iw * ih
     area_a = (ax2 - ax1 + 1.0) * (ay2 - ay1 + 1.0)
     area_b = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
@@ -80,28 +82,27 @@ def _centers(boxes: jnp.ndarray):
     return (x1 + x2) * 0.5, (y1 + y2) * 0.5
 
 
-def pairwise_center_distance(boxes: jnp.ndarray) -> jnp.ndarray:
+def pairwise_center_distance(boxes, xp=jnp):
     """All-pairs Euclidean center distance (get_distance,
     ana_bbox_generator.py:244-250). boxes: [..., N, 4] -> [..., N, N]."""
     cx, cy = _centers(boxes)
     dx = cx[..., :, None] - cx[..., None, :]
     dy = cy[..., :, None] - cy[..., None, :]
-    return jnp.sqrt(dx * dx + dy * dy)
+    return xp.sqrt(dx * dx + dy * dy)
 
 
-def pairwise_angle(boxes: jnp.ndarray) -> jnp.ndarray:
+def pairwise_angle(boxes, xp=jnp):
     """All-pairs angle in degrees [0, 360) from center(i) to center(j)
     (get_angle/cal_angle, ana_bbox_generator.py:252-263)."""
     cx, cy = _centers(boxes)
     dx = cx[..., None, :] - cx[..., :, None]   # x_j - x_i
     dy = cy[..., None, :] - cy[..., :, None]   # y_j - y_i
-    ang = jnp.arctan2(dy, dx) / math.pi * 180.0
-    return jnp.where(ang < 0, ang + 360.0, ang)
+    ang = xp.arctan2(dy, dx) / math.pi * 180.0
+    return xp.where(ang < 0, ang + 360.0, ang)
 
 
-def bbox_relation_types(boxes: jnp.ndarray,
-                        img_w: float = 1024.0,
-                        img_h: float = 1024.0) -> jnp.ndarray:
+def bbox_relation_types(boxes, img_w: float = 1024.0,
+                        img_h: float = 1024.0, xp=jnp):
     """All-pairs directed relation label in {0..11}
     (bbox_relation_type, ana_bbox_generator.py:266-276).
 
@@ -110,7 +111,7 @@ def bbox_relation_types(boxes: jnp.ndarray,
     (the triangular mirroring of the reference is applied by
     `spatial_adjacency`).
     """
-    boxes = boxes.astype(jnp.float32)
+    boxes = boxes.astype(xp.float32)
     x1, y1, x2, y2 = _split_boxes(boxes)
 
     def pair(u, v):
@@ -123,30 +124,29 @@ def bbox_relation_types(boxes: jnp.ndarray,
 
     contains = (ix1 < jx1) & (iy1 < jy1) & (ix2 > jx2) & (iy2 > jy2)
     inside = (ix1 > jx1) & (iy1 > jy1) & (ix2 < jx2) & (iy2 < jy2)
-    overlap = pairwise_iou(boxes, boxes) >= 0.5
-    far = pairwise_center_distance(boxes) >= (img_w + img_h) / 3.0
+    overlap = pairwise_iou(boxes, boxes, xp=xp) >= 0.5
+    far = pairwise_center_distance(boxes, xp=xp) >= (img_w + img_h) / 3.0
     # ceil(angle/45)+3 in 4..11; angle==0 -> ceil==0 -> clamp to sector 1.
-    ang = pairwise_angle(boxes)
-    sector = jnp.ceil(ang / 45.0).astype(jnp.int32) + 3
-    sector = jnp.clip(sector, 4, 11)
+    ang = pairwise_angle(boxes, xp=xp)
+    sector = xp.ceil(ang / 45.0).astype(xp.int32) + 3
+    sector = xp.clip(sector, 4, 11)
 
     out = sector
-    out = jnp.where(far, 0, out)
-    out = jnp.where(overlap, 3, out)
-    out = jnp.where(inside, 2, out)
-    out = jnp.where(contains, 1, out)
-    return out.astype(jnp.int32)
+    out = xp.where(far, 0, out)
+    out = xp.where(overlap, 3, out)
+    out = xp.where(inside, 2, out)
+    out = xp.where(contains, 1, out)
+    return out.astype(xp.int32)
 
 
-def reverse_relation_type(labels: jnp.ndarray) -> jnp.ndarray:
+def reverse_relation_type(labels, xp=jnp):
     """Label reversal (reverse_type, ana_bbox_generator.py:278-296)."""
-    return _REVERSE_TABLE[labels]
+    return xp.asarray(_REVERSE_TABLE, dtype=xp.int32)[labels]
 
 
-def spatial_adjacency(boxes: jnp.ndarray,
-                      pad_to: int | None = None,
+def spatial_adjacency(boxes, pad_to: int | None = None,
                       img_w: float = 1024.0,
-                      img_h: float = 1024.0) -> jnp.ndarray:
+                      img_h: float = 1024.0, xp=jnp):
     """Full spatial adjacency matching the reference's write pattern
     (get_adj_matrix, ana_bbox_generator.py:320-335): upper triangle
     (incl. diagonal) from `bbox_relation_type(b_i, b_j)`, lower triangle
@@ -156,13 +156,13 @@ def spatial_adjacency(boxes: jnp.ndarray,
     (the reference stores 100x100 zero-padded matrices).
     """
     n = boxes.shape[-2]
-    types = bbox_relation_types(boxes, img_w=img_w, img_h=img_h)
-    upper = jnp.triu(jnp.ones((n, n), dtype=bool))
-    adj = jnp.where(upper, types,
-                    reverse_relation_type(jnp.swapaxes(types, -1, -2)))
+    types = bbox_relation_types(boxes, img_w=img_w, img_h=img_h, xp=xp)
+    upper = xp.triu(xp.ones((n, n), dtype=bool))
+    adj = xp.where(upper, types,
+                   reverse_relation_type(xp.swapaxes(types, -1, -2), xp=xp))
     if pad_to is not None and pad_to > n:
         pad = [(0, 0)] * (adj.ndim - 2) + [(0, pad_to - n), (0, pad_to - n)]
-        adj = jnp.pad(adj, pad)
+        adj = xp.pad(adj, pad)
     return adj
 
 

@@ -1,0 +1,77 @@
+"""Batch-inference driver (test_mimic.py parity).
+
+Loads a checkpoint, greedy-decodes the chosen split, writes a
+COCO-format results JSON, prints caption metrics and the wall-clock
+("Test took %.4f seconds", test_mimic.py:136-137).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from ekaid_tpu.config import default_config, load_config
+from ekaid_tpu.train.train import (Trainer, build_synthetic_trainer,
+                                   build_trainer)
+from ekaid_tpu.utils.checkpoint import CheckpointManager, abstract_like
+
+
+def run_test(trainer: Trainer, checkpoint_dir: str = None,
+             checkpoint_name=None, out_path: str = None,
+             max_batches=None):
+    if checkpoint_dir:
+        mgr = CheckpointManager(checkpoint_dir)
+        trainer.state = mgr.restore(abstract_like(trainer.state),
+                                    name=checkpoint_name)
+        print(f"Loaded checkpoint step {int(trainer.state.step)}")
+    t0 = time.time()
+    scores, predictions = trainer.evaluate(max_batches=max_batches)
+    elapsed = time.time() - t0
+    n = len(predictions)
+    print("Test took %.4f seconds (%d pairs, %.2f pairs/s)"
+          % (elapsed, n, n / max(elapsed, 1e-9)))
+    for k, v in scores.items():
+        print(f"{k}: {v:.3f}")
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump([{"caption": v, "image_id": k}
+                       for k, v in predictions.items()], f)
+        print(f"results saved to {out_path}")
+    return scores, predictions
+
+
+def main(argv=None):
+    from ekaid_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description="EKAID-TPU batch inference")
+    p.add_argument("-p", "--checkpoint_dir", default=None,
+                   help="snapshots directory (or None for fresh params)")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint name/step inside the directory")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--split", default="test", choices=["test", "val"])
+    p.add_argument("--graph", default="all")
+    p.add_argument("--feature_mode", default="both")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out", default=None)
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--workdir", default="/tmp/ekaid_test")
+    a = p.parse_args(argv)
+
+    cfg = load_config(a.cfg) if a.cfg else default_config()
+    cfg = cfg.replace(train=cfg.train.replace(graph=a.graph),
+                      data=cfg.data.replace(feature_mode=a.feature_mode))
+    if a.synthetic:
+        trainer = build_synthetic_trainer(cfg, a.workdir)
+    else:
+        trainer = build_trainer(cfg, a.workdir, a.split)
+    out = a.out or os.path.join(a.workdir,
+                                f"test_results_{a.split}.json")
+    run_test(trainer, a.checkpoint_dir, a.checkpoint, out, a.max_batches)
+
+
+if __name__ == "__main__":
+    main()

