@@ -1,0 +1,138 @@
+"""Padded, jit-able non-maximum suppression that returns kept indices.
+
+The reference's entire forward-hook machinery exists because Detectron2's
+CUDA `batched_nms` discards the mapping from kept detections back to
+proposal rows — it re-implements `fast_rcnn_inference_single_image` just
+to return `keep` ("feature extraction/get_bbox_id.py":16-39,124-177).
+Here the contract is first-class: every NMS returns `(indices, valid)`
+with static shapes, so downstream code can gather the 1024-d proposal
+features directly inside the same XLA program.
+
+Algorithm: iterative argmax selection — select the highest remaining
+score, emit it, suppress everything with IoU > threshold, repeat for a
+static `max_out` iterations via `lax.fori_loop` (the TPU-friendly NMS
+shape: no data-dependent shapes, no host sync). Class-aware variants use
+the coordinate-offset trick so boxes of different classes never suppress
+each other (equivalent to torchvision batched_nms).
+
+IoU here is the geometric convention (no +1) used by detection NMS, as
+in torchvision/Detectron2 — distinct from the graph ops' +1 convention
+(ana_bbox_generator.py:213-240), which `ekaid_tpu.ops.graph` keeps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU, geometric convention. a: [N,4], b: [M,4] -> [N,M]."""
+    ax1, ay1, ax2, ay2 = jnp.split(a, 4, axis=-1)
+    bx1, by1, bx2, by2 = [v[:, 0] for v in jnp.split(b, 4, axis=-1)]
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter = iw * ih
+    area_a = jnp.maximum(ax2 - ax1, 0.0) * jnp.maximum(ay2 - ay1, 0.0)
+    area_b = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+    union = area_a + area_b - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+        max_out: int, score_thresh: float = float("-inf")
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS. boxes [R,4], scores [R] -> (indices [max_out] int32,
+    valid [max_out] bool). Selection order is descending score, exactly
+    torchvision semantics for distinct scores."""
+    r = boxes.shape[0]
+    live = scores > score_thresh
+
+    def body(i, carry):
+        live, out_idx, out_valid = carry
+        masked = jnp.where(live, scores, NEG)
+        best = jnp.argmax(masked)
+        ok = masked[best] > NEG
+        ious = box_iou(boxes[best][None], boxes)[0]
+        suppress = ious > iou_thresh
+        live = live & ~suppress & (jnp.arange(r) != best)
+        out_idx = out_idx.at[i].set(jnp.where(ok, best, 0).astype(jnp.int32))
+        out_valid = out_valid.at[i].set(ok)
+        return live, out_idx, out_valid
+
+    out_idx = jnp.zeros(max_out, jnp.int32)
+    out_valid = jnp.zeros(max_out, bool)
+    _, out_idx, out_valid = jax.lax.fori_loop(
+        0, max_out, body, (live, out_idx, out_valid))
+    return out_idx, out_valid
+
+
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                classes: jnp.ndarray, iou_thresh: float, max_out: int,
+                score_thresh: float = float("-inf")
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware NMS via per-class coordinate offsets
+    (torchvision.ops.batched_nms equivalence)."""
+    span = jnp.max(boxes) - jnp.min(boxes) + 1.0
+    offset = classes.astype(boxes.dtype)[:, None] * span
+    return nms(boxes + offset, scores, iou_thresh, max_out, score_thresh)
+
+
+def fast_rcnn_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  iou_thresh: float = 0.5, score_thresh: float = 0.0,
+                  max_out: int = 100):
+    """Class-wise inference NMS (fast_rcnn_inference_single_image parity,
+    get_bbox_id.py:124-177) with static shapes.
+
+    boxes:  [R, K, 4] class-specific boxes (already decoded + clipped)
+    scores: [R, K+1] softmax probs; the background column (last) is
+            dropped (:148)
+
+    Returns dict with, per kept slot (sorted by score):
+      proposal_idx [max_out] — row in [0, R) (the reference's `keep //
+      K`, ana_bbox_generator.py:583 `ids / len(category)`),
+      class_idx [max_out], boxes [max_out, 4], scores [max_out],
+      valid [max_out].
+    """
+    r, k = scores.shape[0], scores.shape[1] - 1
+    cls_scores = scores[:, :k]                      # [R, K]
+    flat_scores = cls_scores.reshape(-1)            # row-major (prop, cls)
+    flat_boxes = boxes.reshape(-1, 4)
+    flat_classes = jnp.tile(jnp.arange(k), (r,))
+    # score_thresh filter (:157): strictly greater, as the reference
+    keep_mask = flat_scores > score_thresh
+    masked_scores = jnp.where(keep_mask, flat_scores, NEG)
+    idx, valid = batched_nms(flat_boxes, masked_scores, flat_classes,
+                             iou_thresh, max_out, score_thresh=NEG / 2)
+    valid = valid & (masked_scores[idx] > NEG)
+    return {
+        "proposal_idx": (idx // k).astype(jnp.int32),
+        "class_idx": (idx % k).astype(jnp.int32),
+        "boxes": flat_boxes[idx],
+        "scores": flat_scores[idx],
+        "valid": valid,
+    }
+
+
+def top1_per_class(class_idx: jnp.ndarray, valid: jnp.ndarray,
+                   num_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each class c, the first kept slot with that class
+    (detections arrive score-sorted from NMS), else invalid — the
+    vectorized form of the per-class ordering loop
+    (ana_bbox_generator.py:578-600).
+
+    Returns (slot [num_classes] int32, found [num_classes] bool).
+    """
+    m = class_idx.shape[0]
+    onehot = (class_idx[None, :] == jnp.arange(num_classes)[:, None])
+    onehot = onehot & valid[None, :]
+    slot = jnp.argmax(onehot, axis=1).astype(jnp.int32)
+    found = jnp.any(onehot, axis=1)
+    del m
+    return slot, found

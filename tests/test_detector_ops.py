@@ -1,0 +1,189 @@
+"""NMS / ROIAlign tests vs. pure-Python oracles of the standard algorithms."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ekaid_tpu.ops.nms import (batched_nms, box_iou, fast_rcnn_nms, nms,
+                               top1_per_class)
+from ekaid_tpu.ops.roi_align import (assign_levels, multilevel_roi_align,
+                                     roi_align)
+
+
+# ---------------------------------------------------------------- oracle ---
+
+def iou_np(a, b):
+    iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = iw * ih
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) \
+        - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def nms_oracle(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    removed = set()
+    for i in order:
+        if i in removed:
+            continue
+        keep.append(i)
+        for j in order:
+            if j not in removed and j != i and \
+                    iou_np(boxes[i], boxes[j]) > thresh:
+                removed.add(j)
+    return keep
+
+
+def random_boxes(rng, n, size=200):
+    x1 = rng.uniform(0, size * 0.7, n)
+    y1 = rng.uniform(0, size * 0.7, n)
+    w = rng.uniform(5, size * 0.4, n)
+    h = rng.uniform(5, size * 0.4, n)
+    return np.stack([x1, y1, x1 + w, y1 + h], -1).astype(np.float32)
+
+
+def roi_align_oracle(fmap, roi, scale, out, s):
+    """Single-ROI ROIAlignV2 (aligned): mean of s*s bilinear samples."""
+    H, W, C = fmap.shape
+    x1 = roi[0] * scale - 0.5
+    y1 = roi[1] * scale - 0.5
+    bw = (roi[2] - roi[0]) * scale / out
+    bh = (roi[3] - roi[1]) * scale / out
+    res = np.zeros((out, out, C))
+    for by in range(out):
+        for bx in range(out):
+            acc = np.zeros(C)
+            for iy in range(s):
+                for ix in range(s):
+                    y = y1 + (by + (iy + 0.5) / s) * bh
+                    x = x1 + (bx + (ix + 0.5) / s) * bw
+                    if y < -1.0 or y > H or x < -1.0 or x > W:
+                        continue
+                    y0, x0 = int(np.floor(y)), int(np.floor(x))
+                    ly, lx = y - y0, x - x0
+                    def at(yy, xx):
+                        return fmap[min(max(yy, 0), H - 1),
+                                    min(max(xx, 0), W - 1)]
+                    acc += (at(y0, x0) * (1 - ly) * (1 - lx)
+                            + at(y0, x0 + 1) * (1 - ly) * lx
+                            + at(y0 + 1, x0) * ly * (1 - lx)
+                            + at(y0 + 1, x0 + 1) * ly * lx)
+            res[by, bx] = acc / (s * s)
+    return res
+
+
+# ------------------------------------------------------------------ NMS ---
+
+def test_box_iou_matches_oracle(rng):
+    a = random_boxes(rng, 8)
+    b = random_boxes(rng, 5)
+    got = np.asarray(box_iou(jnp.asarray(a), jnp.asarray(b)))
+    want = np.array([[iou_np(x, y) for y in b] for x in a])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_nms_matches_oracle(rng):
+    for trial in range(5):
+        boxes = random_boxes(rng, 40)
+        scores = rng.uniform(0.1, 1.0, 40).astype(np.float32)
+        want = nms_oracle(boxes, scores, 0.5)
+        idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 40)
+        got = [int(i) for i, v in zip(idx, valid) if v]
+        assert got == want, trial
+
+
+def test_nms_max_out_truncation(rng):
+    boxes = random_boxes(rng, 30)
+    scores = rng.uniform(0.1, 1.0, 30).astype(np.float32)
+    want = nms_oracle(boxes, scores, 0.5)[:5]
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 5)
+    got = [int(i) for i, v in zip(idx, valid) if v]
+    assert got == want
+
+
+def test_batched_nms_classes_dont_suppress(rng):
+    # identical boxes, different classes -> both kept
+    b = np.array([[10, 10, 50, 50], [10, 10, 50, 50]], np.float32)
+    s = np.array([0.9, 0.8], np.float32)
+    c = np.array([0, 1])
+    idx, valid = batched_nms(jnp.asarray(b), jnp.asarray(s),
+                             jnp.asarray(c), 0.5, 4)
+    assert valid.sum() == 2
+    # same class -> one suppressed
+    idx, valid = batched_nms(jnp.asarray(b), jnp.asarray(s),
+                             jnp.asarray(np.array([0, 0])), 0.5, 4)
+    assert valid.sum() == 1
+
+
+def test_fast_rcnn_nms_contract(rng):
+    r, k = 20, 3
+    boxes = np.stack([random_boxes(rng, r) for _ in range(k)], axis=1)
+    scores = rng.uniform(0, 1, (r, k + 1)).astype(np.float32)
+    scores /= scores.sum(-1, keepdims=True)
+    out = fast_rcnn_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                        iou_thresh=0.5, score_thresh=0.05, max_out=30)
+    v = np.asarray(out["valid"])
+    pi = np.asarray(out["proposal_idx"])[v]
+    ci = np.asarray(out["class_idx"])[v]
+    sc = np.asarray(out["scores"])[v]
+    # scores sorted descending, all above threshold
+    assert (np.diff(sc) <= 1e-6).all()
+    assert (sc > 0.05).all()
+    # proposal/class indices recover the original score table
+    np.testing.assert_allclose(scores[pi, ci], sc, rtol=1e-6)
+    # boxes match the class-specific inputs
+    np.testing.assert_allclose(np.asarray(out["boxes"])[v],
+                               boxes[pi, ci], rtol=1e-6)
+
+
+def test_top1_per_class():
+    class_idx = jnp.asarray([2, 0, 2, 1, 0])
+    valid = jnp.asarray([True, True, True, False, True])
+    slot, found = top1_per_class(class_idx, valid, 4)
+    assert slot[2] == 0 and slot[0] == 1
+    assert not found[1] and not found[3]
+    assert found[0] and found[2]
+
+
+# ------------------------------------------------------------- ROIAlign ---
+
+def test_roi_align_matches_oracle(rng):
+    fmap = rng.standard_normal((16, 20, 3)).astype(np.float32)
+    rois = np.array([[4.0, 8.0, 36.0, 28.0],
+                     [0.0, 0.0, 80.0, 64.0],
+                     [10.0, 10.0, 11.0, 11.0]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois),
+                               spatial_scale=0.25, out_size=4,
+                               sampling_ratio=2))
+    for i, roi in enumerate(rois):
+        want = roi_align_oracle(fmap, roi, 0.25, 4, 2)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_constant_map(rng):
+    fmap = np.full((8, 8, 2), 3.0, np.float32)
+    rois = np.array([[4.0, 4.0, 24.0, 24.0]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois), 0.25,
+                               out_size=2))
+    np.testing.assert_allclose(got, 3.0, rtol=1e-6)
+
+
+def test_assign_levels():
+    rois = jnp.asarray([[0, 0, 32, 32],       # tiny -> level 2
+                        [0, 0, 224, 224],     # canonical -> level 4
+                        [0, 0, 900, 900]])    # huge -> level 5
+    lv = np.asarray(assign_levels(rois))
+    assert lv.tolist() == [2, 4, 5]
+
+
+def test_multilevel_roi_align_selects_right_level(rng):
+    # constant-valued maps with distinct values per level
+    fmaps = [jnp.full((64 >> i, 64 >> i, 1), float(i + 1))
+             for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = jnp.asarray([[8, 8, 48, 48],        # lvl 2 -> value 1
+                        [8, 8, 208, 208]])     # lvl 3 -> value 2
+    out = np.asarray(multilevel_roi_align(fmaps, rois, scales, out_size=2))
+    np.testing.assert_allclose(out[0], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(out[1], 2.0, rtol=1e-5)
