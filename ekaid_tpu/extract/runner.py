@@ -1,0 +1,139 @@
+"""Extraction CLI: images → combined 52-node graph HDF5.
+
+CLI parity with running ana_bbox_generator.py + bbox_generator_by_location
+.py + combine_dicts.py back-to-back — one command, batched on the
+accelerator, streaming host IO. Without trained detector checkpoints it
+can run with random weights (--allow_random) for pipeline validation and
+benchmarking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekaid_tpu.config import Config, default_config, load_config
+from ekaid_tpu.extract.pipeline import Extractor, H5Writer
+from ekaid_tpu.models.detector import FasterRCNN
+from ekaid_tpu.utils.dtypes import Policy, canonical
+
+
+def build_detector_fns(cfg: Config,
+                       ana_params=None, dis_params=None,
+                       rng: Optional[jax.Array] = None):
+    """Jitted (ana_apply, dis_apply) with given or random params."""
+    det = cfg.detector
+    policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
+    ana = FasterRCNN(det, num_classes=det.num_anatomy_classes,
+                     policy=policy)
+    dis = FasterRCNN(det, num_classes=det.num_disease_classes,
+                     policy=policy)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, det.image_size, det.image_size, 3), jnp.float32)
+    if ana_params is None:
+        ana_params = ana.init(rng, dummy)
+    if dis_params is None:
+        dis_params = dis.init(jax.random.fold_in(rng, 1), dummy)
+
+    n_nodes = det.num_anatomy_classes
+
+    @jax.jit
+    def ana_apply(images):
+        return ana.apply(ana_params, images, method="extract")
+
+    @jax.jit
+    def dis_apply(images):
+        return dis.apply(dis_params, images, method="detect",
+                         max_out=n_nodes)
+
+    return ana_apply, dis_apply
+
+
+def png_batches(image_dir: str, image_size: int, batch_size: int
+                ) -> Iterator[np.ndarray]:
+    """Host image loader: PNG/JPG files → [B, S, S, 3] float batches.
+    (converter.py:71 resizes MIMIC to 1024² PNG upstream.)"""
+    from PIL import Image
+    files = sorted(f for f in os.listdir(image_dir)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    batch = []
+    for f in files:
+        img = Image.open(os.path.join(image_dir, f)).convert("RGB")
+        if img.size != (image_size, image_size):
+            img = img.resize((image_size, image_size))
+        batch.append(np.asarray(img, np.float32) / 255.0)
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        # pad the tail to keep the jit shape static
+        while len(batch) < batch_size:
+            batch.append(np.zeros_like(batch[0]))
+        yield np.stack(batch)
+
+
+def synthetic_batches(n: int, image_size: int, batch_size: int
+                      ) -> Iterator[np.ndarray]:
+    rng = np.random.default_rng(0)
+    for _ in range(n // batch_size):
+        yield rng.standard_normal(
+            (batch_size, image_size, image_size, 3)).astype(np.float32)
+
+
+def main(argv=None):
+    from ekaid_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description="CXR feature extraction")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--image_dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run N synthetic images instead of reading files")
+    p.add_argument("--out", default="data/cmb_bbox_di_feats.hdf5")
+    p.add_argument("--ana_ckpt", default=None)
+    p.add_argument("--dis_ckpt", default=None)
+    p.add_argument("--allow_random", action="store_true")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    a = p.parse_args(argv)
+
+    cfg = load_config(a.cfg) if a.cfg else default_config()
+    det = cfg.detector
+    if a.image_size:
+        det = det.replace(image_size=a.image_size)
+    if a.batch_size:
+        det = det.replace(batch_size=a.batch_size)
+    cfg = cfg.replace(detector=det)
+
+    ana_params = dis_params = None
+    if a.ana_ckpt or a.dis_ckpt:
+        import orbax.checkpoint as ocp
+        ck = ocp.StandardCheckpointer()
+        if a.ana_ckpt:
+            ana_params = ck.restore(os.path.abspath(a.ana_ckpt))
+        if a.dis_ckpt:
+            dis_params = ck.restore(os.path.abspath(a.dis_ckpt))
+    elif not a.allow_random:
+        raise SystemExit("no checkpoints given; pass --allow_random to "
+                         "run with random detector weights")
+
+    ana_apply, dis_apply = build_detector_fns(cfg, ana_params, dis_params)
+    ex = Extractor(ana_apply, dis_apply, det.num_disease_classes)
+    writer = H5Writer(a.out, num_nodes=2 * det.num_anatomy_classes,
+                      feat_dim=det.roi_feat_dim)
+    if a.synthetic:
+        batches = synthetic_batches(a.synthetic, det.image_size,
+                                    det.batch_size)
+    else:
+        assert a.image_dir, "--image_dir or --synthetic required"
+        batches = png_batches(a.image_dir, det.image_size, det.batch_size)
+    ex.run(batches, writer)
+    print(f"wrote {a.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Faster R-CNN R50-FPN: one jittable program for detection + extraction.
+
+The reference runs extraction at batch 1 through forward hooks
+(ana_bbox_generator.py:475-487,557-600; "only 1 is allowed",
+bbox_generator_by_location.py:636) because Detectron2's NMS discards
+proposal indices. Here `extract` is a single batched XLA program:
+backbone → RPN proposals → ROIAlign → box head → class-wise NMS with
+kept-index tracking → per-class top-1 selection — returning exactly
+`num_classes` ordered nodes per image with their 1024-d fc2 features
+(zero-filled where a class is missing, ana_bbox_generator.py:592-597).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ekaid_tpu.models.detector.anchors import pyramid_anchors
+from ekaid_tpu.models.detector.backbone import ResNetFPN
+from ekaid_tpu.models.detector.heads import (BoxHead, decode_roi_boxes,
+                                             roi_loss)
+from ekaid_tpu.models.detector.rpn import (RPNHead, generate_proposals,
+                                           rpn_loss)
+from ekaid_tpu.ops.nms import fast_rcnn_nms, top1_per_class
+from ekaid_tpu.utils.dtypes import Policy, F32
+
+FPN_SCALES = (0.25, 0.125, 0.0625, 0.03125)      # p2..p5
+
+
+class FasterRCNN(nn.Module):
+    cfg: Any                      # DetectorConfig
+    num_classes: int = 26         # 26 anatomy / 22 disease detectors
+    norm: str = "gn"
+    policy: Policy = F32
+
+    def setup(self):
+        self.backbone = ResNetFPN(self.cfg.fpn_channels, norm=self.norm,
+                                  policy=self.policy, name="backbone")
+        self.rpn = RPNHead(policy=self.policy, name="rpn")
+        self.box_head = BoxHead(self.num_classes,
+                                fc_dim=self.cfg.roi_feat_dim,
+                                pool_size=self.cfg.roi_pool_size,
+                                policy=self.policy, name="box_head")
+
+    def _features(self, images):
+        feats = self.backbone(images)
+        return [feats[f"p{l}"] for l in (2, 3, 4, 5, 6)]
+
+    def _proposals(self, pyramid, train: bool = False):
+        logits, deltas = self.rpn(pyramid)
+        anchors = [jnp.asarray(a) for a in pyramid_anchors(
+            self.cfg.image_size)]
+        boxes, scores, valid = generate_proposals(
+            logits, deltas, anchors, self.cfg.image_size,
+            pre_nms_topk=2000 if train else self.cfg.pre_nms_topk,
+            post_nms_topk=self.cfg.post_nms_topk,
+            nms_thresh=0.7)
+        return (logits, deltas, anchors), (boxes, scores, valid)
+
+    def __call__(self, images, train: bool = False):
+        """Plain detection forward: returns proposals and ROI outputs."""
+        pyramid = self._features(images)
+        _, (boxes, scores, valid) = self._proposals(pyramid, train=train)
+
+        def per_image(fmaps, rois):
+            return self.box_head(fmaps, rois, FPN_SCALES)
+
+        feats, cls_scores, box_deltas = jax.vmap(per_image)(
+            [p for p in pyramid[:4]], boxes)
+        return {"proposals": boxes, "proposal_scores": scores,
+                "proposal_valid": valid, "roi_features": feats,
+                "cls_scores": cls_scores, "box_deltas": box_deltas}
+
+    def extract(self, images) -> Dict[str, jnp.ndarray]:
+        """Per-class node extraction (ana_bbox_generator parity).
+
+        Returns per image: features [K, fc_dim], boxes [K, 4],
+        classes [K] (==arange when found), found [K] bool.
+        """
+        out = self(images, train=False)
+        k = self.num_classes
+        pre = min(100, self.cfg.post_nms_topk)    # pre_extract_num (:536)
+
+        def per_image(cls_scores, box_deltas, proposals, valid, feats):
+            probs = jax.nn.softmax(
+                cls_scores.astype(jnp.float32), axis=-1)
+            # kill padded proposals before NMS
+            probs = jnp.where(valid[:, None], probs, 0.0)
+            dec = decode_roi_boxes(box_deltas, proposals,
+                                   self.cfg.image_size)
+            det = fast_rcnn_nms(dec, probs,
+                                iou_thresh=self.cfg.nms_thresh,
+                                score_thresh=self.cfg.score_thresh,
+                                max_out=pre)
+            slot, found = top1_per_class(det["class_idx"], det["valid"], k)
+            sel_boxes = jnp.where(found[:, None], det["boxes"][slot], 0.0)
+            sel_feat = jnp.where(
+                found[:, None],
+                feats[det["proposal_idx"][slot]].astype(jnp.float32), 0.0)
+            sel_scores = jnp.where(found, det["scores"][slot], 0.0)
+            return sel_feat, sel_boxes, sel_scores, found
+
+        feat, boxes, scores, found = jax.vmap(per_image)(
+            out["cls_scores"], out["box_deltas"], out["proposals"],
+            out["proposal_valid"], out["roi_features"])
+        classes = jnp.broadcast_to(jnp.arange(k), found.shape)
+        classes = jnp.where(found, classes, k)     # sentinel when missing
+        return {"features": feat, "boxes": boxes, "scores": scores,
+                "classes": classes.astype(jnp.int32), "found": found}
+
+    def detect(self, images, max_out: int = 26) -> Dict[str, jnp.ndarray]:
+        """Top-`max_out` detections per image with proposal features —
+        the disease-extraction contract (bbox_generator_by_location.py:
+        662-668: `inference(..., test_topk_per_image)` then
+        `feats[keep // K]`).
+
+        Returns boxes [B, M, 4], classes [B, M], scores [B, M],
+        features [B, M, fc_dim], valid [B, M].
+        """
+        out = self(images, train=False)
+        k = self.num_classes
+
+        def per_image(cls_scores, box_deltas, proposals, valid, feats):
+            probs = jax.nn.softmax(cls_scores.astype(jnp.float32), axis=-1)
+            probs = jnp.where(valid[:, None], probs, 0.0)
+            dec = decode_roi_boxes(box_deltas, proposals,
+                                   self.cfg.image_size)
+            det = fast_rcnn_nms(dec, probs,
+                                iou_thresh=self.cfg.nms_thresh,
+                                score_thresh=self.cfg.score_thresh,
+                                max_out=max_out)
+            sel_feat = feats[det["proposal_idx"]].astype(jnp.float32)
+            return (det["boxes"], det["class_idx"], det["scores"],
+                    sel_feat, det["valid"])
+
+        boxes, classes, scores, feats, valid = jax.vmap(per_image)(
+            out["cls_scores"], out["box_deltas"], out["proposals"],
+            out["proposal_valid"], out["roi_features"])
+        classes = jnp.where(valid, classes, k)
+        return {"boxes": boxes, "classes": classes.astype(jnp.int32),
+                "scores": scores, "features": feats, "valid": valid}
+
+    def losses(self, images, gt_boxes, gt_classes, gt_valid, rng
+               ) -> Dict[str, jnp.ndarray]:
+        """Batched training losses (RPN + ROI), mean over the batch.
+
+        gt_boxes [B, G, 4], gt_classes [B, G], gt_valid [B, G].
+        """
+        pyramid = self._features(images)
+        (logits, deltas, anchors), (props, _, pvalid) = self._proposals(
+            pyramid, train=True)
+        all_anchors = jnp.concatenate(anchors, axis=0)
+        all_logits = jnp.concatenate(logits, axis=1)
+        all_deltas = jnp.concatenate(deltas, axis=1)
+
+        b = images.shape[0]
+        rngs = jax.random.split(rng, (b, 2))
+
+        def rpn_one(lg, dl, gb, gv, r):
+            return rpn_loss(lg, dl, all_anchors, gb, gv, r)
+
+        rpn_l = jax.vmap(rpn_one)(all_logits, all_deltas, gt_boxes,
+                                  gt_valid, rngs[:, 0])
+
+        def roi_one(fmaps, rois, rvalid, gb, gc, gv, r):
+            _, cls_scores, box_deltas = self.box_head(fmaps, rois,
+                                                      FPN_SCALES)
+            return roi_loss(cls_scores, box_deltas, rois, rvalid, gb, gc,
+                            gv, r, self.num_classes)
+
+        roi_l = jax.vmap(roi_one)(
+            [p for p in pyramid[:4]], props, pvalid, gt_boxes,
+            gt_classes, gt_valid, rngs[:, 1])
+        out = {k: jnp.mean(v) for k, v in {**rpn_l, **roi_l}.items()}
+        out["total"] = (out["rpn_obj"] + out["rpn_box"] + out["roi_cls"]
+                        + out["roi_box"])
+        return out

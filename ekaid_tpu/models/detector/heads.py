@@ -1,0 +1,109 @@
+"""ROI box head: multilevel ROIAlign → 2×FC-1024 → cls/box predictors.
+
+Parity with Detectron2's StandardROIHeads/FastRCNNOutputLayers as the
+reference uses them: 7×7×256 pooled features, two 1024-d FC layers (the
+second's ReLU output is exactly the 1024-d feature the reference's hook
+grabs from `box_predictor`'s input — ana_bbox_generator.py:201-207 hooks
+`inp[0]` of box_predictor, which is fc2's output), a (K+1)-way classifier
+and K×4 class-specific box deltas with weights (10, 10, 5, 5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ekaid_tpu.models.detector.anchors import (clip_boxes, decode_boxes,
+                                               encode_boxes)
+from ekaid_tpu.ops.nms import box_iou
+from ekaid_tpu.ops.roi_align import multilevel_roi_align
+from ekaid_tpu.utils.dtypes import Policy, F32
+
+ROI_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+
+
+class BoxHead(nn.Module):
+    num_classes: int
+    fc_dim: int = 1024
+    pool_size: int = 7
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                 scales: Sequence[float]
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """fmaps p2..p5 [H,W,C] (single image), rois [R, 4].
+        Returns (features [R, fc_dim], scores [R, K+1], deltas [R, K, 4]).
+        """
+        dt = self.policy.compute_dtype
+        pooled = multilevel_roi_align(fmaps, rois, scales,
+                                      out_size=self.pool_size)
+        x = pooled.reshape(pooled.shape[0], -1).astype(dt)
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=dt, name="fc1")(x))
+        feat = nn.relu(nn.Dense(self.fc_dim, dtype=dt, name="fc2")(x))
+        scores = nn.Dense(self.num_classes + 1, dtype=dt,
+                          name="cls_score")(feat)
+        deltas = nn.Dense(self.num_classes * 4, dtype=dt,
+                          name="bbox_pred")(feat)
+        return feat, scores, deltas.reshape(-1, self.num_classes, 4)
+
+
+def decode_roi_boxes(deltas: jnp.ndarray, proposals: jnp.ndarray,
+                     image_size: int) -> jnp.ndarray:
+    """deltas [R, K, 4], proposals [R, 4] -> clipped [R, K, 4]."""
+    boxes = decode_boxes(deltas, proposals[:, None, :],
+                         weights=ROI_WEIGHTS)
+    return clip_boxes(boxes, image_size)
+
+
+def roi_targets(proposals: jnp.ndarray, gt_boxes: jnp.ndarray,
+                gt_classes: jnp.ndarray, gt_valid: jnp.ndarray,
+                num_classes: int, iou_thresh: float = 0.5
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Match proposals to gt: class label (background = num_classes) +
+    matched gt index (Detectron2 label_and_sample semantics, matcher
+    threshold 0.5/0.5)."""
+    iou = box_iou(proposals, gt_boxes)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    cls = jnp.where(best_iou >= iou_thresh, gt_classes[best], num_classes)
+    return cls.astype(jnp.int32), best
+
+
+def roi_loss(scores: jnp.ndarray, deltas: jnp.ndarray,
+             proposals: jnp.ndarray, proposal_valid: jnp.ndarray,
+             gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
+             gt_valid: jnp.ndarray, rng, num_classes: int,
+             batch_size: int = 512, positive_fraction: float = 0.25
+             ) -> Dict[str, jnp.ndarray]:
+    """Per-image ROI losses: softmax CE over sampled proposals + smooth-L1
+    (here plain L1, Detectron2's default beta=0) on the matched class's
+    deltas for positives."""
+    from ekaid_tpu.models.detector.rpn import sample_targets
+
+    cls_t, matched = roi_targets(proposals, gt_boxes, gt_classes,
+                                 gt_valid, num_classes)
+    # sampling labels: 1 = foreground, 0 = background, -1 = invalid rows
+    fg = (cls_t < num_classes) & proposal_valid
+    bg = (cls_t == num_classes) & proposal_valid
+    s_labels = jnp.where(fg, 1, jnp.where(bg, 0, -1))
+    w = sample_targets(s_labels, rng, batch_size=batch_size,
+                       positive_fraction=positive_fraction)
+
+    logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, cls_t[:, None], axis=-1)[:, 0]
+    cls_loss = jnp.sum(ce * w) / batch_size
+
+    target_deltas = encode_boxes(proposals, gt_boxes[matched],
+                                 weights=ROI_WEIGHTS)
+    picked = jnp.take_along_axis(
+        deltas, jnp.clip(cls_t, 0, num_classes - 1)[:, None, None]
+        .repeat(4, axis=2), axis=1)[:, 0]
+    l1 = jnp.sum(jnp.abs(picked - target_deltas), axis=-1)
+    pos_w = w * fg.astype(w.dtype)
+    box_loss = jnp.sum(l1 * pos_w) / batch_size
+    return {"roi_cls": cls_loss, "roi_box": box_loss}

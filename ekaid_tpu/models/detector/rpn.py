@@ -1,0 +1,165 @@
+"""Region Proposal Network: head, proposal generation, training targets.
+
+Detectron2-parity semantics (the backbone config the reference builds,
+train_anatomy.py:562): shared 3×3 conv head with per-anchor objectness
+logit and 4 deltas; at inference, per-level top-k by objectness
+(pre_nms_topk), decode + clip, joint NMS at 0.7 to post_nms_topk
+proposals — all with static shapes and a validity mask instead of
+variable-length lists.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ekaid_tpu.models.detector.anchors import (clip_boxes, decode_boxes,
+                                               encode_boxes)
+from ekaid_tpu.ops.nms import box_iou, nms
+from ekaid_tpu.utils.dtypes import Policy, F32
+
+
+class RPNHead(nn.Module):
+    num_anchors: int = 3
+    channels: int = 256
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        dt = self.policy.compute_dtype
+        conv = nn.Conv(self.channels, (3, 3), padding=1, dtype=dt,
+                       name="conv")
+        obj = nn.Conv(self.num_anchors, (1, 1), dtype=dt,
+                      name="objectness")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=dt,
+                         name="deltas")
+        logits, boxes = [], []
+        for f in feats:
+            h = nn.relu(conv(f))
+            b = f.shape[0]
+            logits.append(obj(h).reshape(b, -1))
+            boxes.append(deltas(h).reshape(b, -1, 4))
+        return logits, boxes
+
+
+def generate_proposals(logits: Sequence[jnp.ndarray],
+                       deltas: Sequence[jnp.ndarray],
+                       anchors: Sequence[jnp.ndarray],
+                       image_size: int,
+                       pre_nms_topk: int = 1000,
+                       post_nms_topk: int = 1000,
+                       nms_thresh: float = 0.7,
+                       min_size: float = 0.0
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched proposal generation.
+
+    logits[l]: [B, N_l]; deltas[l]: [B, N_l, 4]; anchors[l]: [N_l, 4].
+    Returns (boxes [B, post, 4], scores [B, post], valid [B, post]).
+    """
+    def per_image(args):
+        lgs, dls = args
+        lvl_boxes, lvl_scores = [], []
+        for lg, dl, an in zip(lgs, dls, anchors):
+            k = min(pre_nms_topk, lg.shape[0])
+            sc, idx = jax.lax.top_k(lg, k)
+            box = decode_boxes(dl[idx], an[idx])
+            box = clip_boxes(box, image_size)
+            lvl_boxes.append(box)
+            lvl_scores.append(sc)
+        boxes = jnp.concatenate(lvl_boxes, 0)
+        scores = jnp.concatenate(lvl_scores, 0)
+        if min_size > 0:
+            w = boxes[:, 2] - boxes[:, 0]
+            h = boxes[:, 3] - boxes[:, 1]
+            scores = jnp.where((w >= min_size) & (h >= min_size), scores,
+                               -1e9)
+        keep, valid = nms(boxes, scores, nms_thresh, post_nms_topk)
+        return boxes[keep], scores[keep], valid
+
+    return jax.vmap(lambda lg, dl: per_image((lg, dl)))(
+        [l for l in logits], [d for d in deltas])
+
+
+def rpn_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
+                gt_valid: jnp.ndarray,
+                pos_thresh: float = 0.7, neg_thresh: float = 0.3
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor labels (1 pos / 0 neg / -1 ignore) + matched gt index.
+
+    Detectron2 matcher semantics: IoU >= pos_thresh -> positive;
+    < neg_thresh -> negative; in between -> ignore; plus every gt's
+    highest-IoU anchor is positive (allow_low_quality_matches).
+    gt_boxes [G, 4] padded, gt_valid [G].
+    """
+    iou = box_iou(anchors, gt_boxes)                 # [N, G]
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(iou, axis=1)                # [N]
+    best_iou = jnp.max(iou, axis=1)
+    labels = jnp.full(anchors.shape[0], -1, jnp.int32)
+    labels = jnp.where(best_iou < neg_thresh, 0, labels)
+    labels = jnp.where(best_iou >= pos_thresh, 1, labels)
+    # low-quality matches: for each valid gt, its argmax anchor is positive
+    per_gt_best = jnp.argmax(iou, axis=0)            # [G]
+    force = jnp.zeros(anchors.shape[0], bool).at[per_gt_best].set(
+        gt_valid)
+    labels = jnp.where(force, 1, labels)
+    return labels, best_gt
+
+
+def sample_targets(labels: jnp.ndarray, rng, batch_size: int = 256,
+                   positive_fraction: float = 0.5) -> jnp.ndarray:
+    """Subsample labels to `batch_size` with the given positive fraction
+    (Detectron2 subsample_labels): returns weight mask [N] in {0, 1}.
+
+    Randomization uses per-anchor uniform keys + top-k, keeping shapes
+    static.
+    """
+    n = labels.shape[0]
+    r_pos, r_neg = jax.random.split(rng)
+    num_pos_target = int(batch_size * positive_fraction)
+
+    pos = labels == 1
+    neg = labels == 0
+    # random priority; invalid entries sink to the bottom
+    pri_pos = jnp.where(pos, jax.random.uniform(r_pos, (n,)), -1.0)
+    pri_neg = jnp.where(neg, jax.random.uniform(r_neg, (n,)), -1.0)
+    num_pos = jnp.minimum(jnp.sum(pos), num_pos_target)
+    num_neg = jnp.minimum(jnp.sum(neg), batch_size - num_pos)
+
+    def topk_mask(pri, count):
+        k = min(batch_size, n)
+        thresh_vals, _ = jax.lax.top_k(pri, k)
+        # value at the count-th position (0 selected if count == 0)
+        kth = thresh_vals[jnp.clip(count - 1, 0, k - 1)]
+        return (pri >= kth) & (pri > 0) & (count > 0)
+
+    return (topk_mask(pri_pos, num_pos)
+            | topk_mask(pri_neg, num_neg)).astype(jnp.float32)
+
+
+def rpn_loss(logits: jnp.ndarray, deltas: jnp.ndarray,
+             anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
+             gt_valid: jnp.ndarray, rng,
+             batch_size: int = 256) -> Dict[str, jnp.ndarray]:
+    """Per-image RPN loss (objectness BCE + smooth-L1 on positives),
+    normalized by the sampled batch size (Detectron2 convention)."""
+    labels, matched = rpn_targets(anchors, gt_boxes, gt_valid)
+    w = sample_targets(labels, rng, batch_size=batch_size)
+    obj_t = (labels == 1).astype(logits.dtype)
+    bce = optax_sigmoid_bce(logits, obj_t)
+    obj_loss = jnp.sum(bce * w) / batch_size
+
+    target_deltas = encode_boxes(anchors, gt_boxes[matched])
+    l1 = jnp.sum(jnp.abs(deltas - target_deltas), axis=-1)
+    pos_w = w * obj_t
+    box_loss = jnp.sum(l1 * pos_w) / batch_size
+    return {"rpn_obj": obj_loss, "rpn_box": box_loss}
+
+
+def optax_sigmoid_bce(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))

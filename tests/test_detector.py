@@ -1,0 +1,112 @@
+"""Faster R-CNN detector tests (small image sizes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekaid_tpu.config import default_config
+from ekaid_tpu.models.detector import FasterRCNN
+from ekaid_tpu.models.detector.anchors import (decode_boxes, encode_boxes,
+                                               pyramid_anchors)
+from ekaid_tpu.utils.dtypes import F32
+
+IMG = 128
+K = 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = default_config().detector.replace(
+        image_size=IMG, pre_nms_topk=100, post_nms_topk=50,
+        roi_feat_dim=64, fpn_channels=32)
+    model = FasterRCNN(cfg, num_classes=K, policy=F32)
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, IMG, IMG, 3)),
+        jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images)
+    return cfg, model, images, params
+
+
+def test_encode_decode_roundtrip(rng):
+    src = jnp.asarray([[10.0, 20.0, 110.0, 90.0],
+                       [5.0, 5.0, 50.0, 80.0]])
+    tgt = jnp.asarray([[15.0, 25.0, 100.0, 95.0],
+                       [0.0, 10.0, 60.0, 70.0]])
+    for w in [(1, 1, 1, 1), (10, 10, 5, 5)]:
+        deltas = encode_boxes(src, tgt, weights=w)
+        back = decode_boxes(deltas, src, weights=w)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(tgt),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_pyramid_anchors_shapes():
+    anchors = pyramid_anchors(IMG)
+    # strides 4..64 -> 32,16,8,4,2 cells per side, 3 anchors each
+    sizes = [(IMG // s) ** 2 * 3 for s in (4, 8, 16, 32, 64)]
+    assert [a.shape[0] for a in anchors] == sizes
+    # centered geometry: anchor 1 (ratio 1.0) at cell (0,0) of p2 is a
+    # 32x32 box centered at 0
+    a = anchors[0][1]
+    np.testing.assert_allclose(a, [-16, -16, 16, 16], atol=1e-5)
+
+
+def test_forward_shapes(setup):
+    cfg, model, images, params = setup
+    out = model.apply(params, images)
+    P = cfg.post_nms_topk
+    assert out["proposals"].shape == (2, P, 4)
+    assert out["proposal_valid"].shape == (2, P)
+    assert out["roi_features"].shape == (2, P, cfg.roi_feat_dim)
+    assert out["cls_scores"].shape == (2, P, K + 1)
+    assert out["box_deltas"].shape == (2, P, K, 4)
+    # proposals are within the image
+    pr = np.asarray(out["proposals"])
+    assert pr.min() >= 0 and pr.max() <= IMG
+
+
+def test_extract_contract(setup):
+    cfg, model, images, params = setup
+    out = model.apply(params, images, method="extract")
+    assert out["features"].shape == (2, K, cfg.roi_feat_dim)
+    assert out["boxes"].shape == (2, K, 4)
+    assert out["classes"].shape == (2, K)
+    found = np.asarray(out["found"])
+    feats = np.asarray(out["features"])
+    boxes = np.asarray(out["boxes"])
+    classes = np.asarray(out["classes"])
+    for b in range(2):
+        for k in range(K):
+            if found[b, k]:
+                assert classes[b, k] == k
+            else:
+                # missing classes are zero-filled (ana_bbox_generator
+                # :592-597 parity)
+                assert classes[b, k] == K
+                assert (feats[b, k] == 0).all()
+                assert (boxes[b, k] == 0).all()
+
+
+def test_losses_finite_and_differentiable(setup):
+    cfg, model, images, params = setup
+    g = 3
+    gt_boxes = jnp.asarray([[[10, 10, 60, 60], [30, 40, 90, 100],
+                             [0, 0, 0, 0]],
+                            [[5, 5, 40, 40], [0, 0, 0, 0], [0, 0, 0, 0]]],
+                           jnp.float32)
+    gt_classes = jnp.asarray([[0, 2, 0], [4, 0, 0]], jnp.int32)
+    gt_valid = jnp.asarray([[True, True, False],
+                            [True, False, False]])
+
+    def loss_fn(p):
+        losses = model.apply(p, images, gt_boxes, gt_classes, gt_valid,
+                             jax.random.PRNGKey(1), method="losses")
+        return losses["total"], losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params)
+    assert np.isfinite(float(total))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    gsq = sum(float(jnp.sum(g * g)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gsq) and gsq > 0

@@ -1,0 +1,135 @@
+"""Extraction pipeline + detection evaluator tests."""
+
+import numpy as np
+import pytest
+
+from ekaid_tpu.data import knowledge as K
+from ekaid_tpu.extract.pipeline import (Extractor, H5Writer, combine_pair,
+                                        match_disease_to_anatomy)
+from ekaid_tpu.metrics.detection import (DetectionEvaluator,
+                                         average_precision)
+
+
+def test_match_disease_basic():
+    ana = np.array([[0, 0, 10, 10], [20, 20, 40, 40],
+                    [60, 60, 90, 90]], np.float32)
+    dis = np.array([[21, 21, 39, 39],     # overlaps ana1
+                    [61, 59, 88, 92]], np.float32)   # overlaps ana2
+    feats = np.array([[1.0, 1.0], [2.0, 2.0]], np.float32)
+    classes = np.array([3, 7])
+    valid = np.array([True, True])
+    out_feat, out_cls = match_disease_to_anatomy(dis, feats, classes,
+                                                 valid, ana, 22)
+    np.testing.assert_array_equal(out_feat[1], [1.0, 1.0])
+    np.testing.assert_array_equal(out_feat[2], [2.0, 2.0])
+    assert out_cls.tolist() == [22, 3, 7]     # ana0 unassigned -> sentinel
+    assert (out_feat[0] == 0).all()
+
+
+def test_match_disease_greedy_priority():
+    # one disease box overlapping two anatomy boxes: takes both; a second
+    # disease with higher IoU on ana1 steals it (holder has >1)
+    ana = np.array([[0, 0, 10, 10], [8, 0, 18, 10]], np.float32)
+    dis = np.array([[0, 0, 18, 10],       # covers both
+                    [8, 0, 18, 10]], np.float32)    # exactly ana1
+    feats = np.array([[1.0], [2.0]], np.float32)
+    classes = np.array([0, 1])
+    valid = np.array([True, True])
+    out_feat, out_cls = match_disease_to_anatomy(dis, feats, classes,
+                                                 valid, ana, 22)
+    assert out_cls.tolist() == [0, 1]     # ana1 stolen by disease 1
+    np.testing.assert_array_equal(out_feat[:, 0], [1.0, 2.0])
+
+
+def test_match_disease_invalid_skipped():
+    ana = np.array([[0, 0, 10, 10]], np.float32)
+    dis = np.array([[0, 0, 10, 10]], np.float32)
+    out_feat, out_cls = match_disease_to_anatomy(
+        dis, np.ones((1, 2), np.float32), np.array([5]),
+        np.array([False]), ana, 22)
+    assert out_cls.tolist() == [22]
+
+
+def make_extraction(n_ana=4, feat=8):
+    rng = np.random.default_rng(0)
+    boxes = np.array([[10, 10, 100, 100], [150, 10, 300, 200],
+                      [400, 400, 600, 600], [0, 0, 0, 0]], np.float32)
+    ana = {
+        "features": rng.standard_normal((n_ana, feat)).astype(np.float32),
+        "boxes": boxes[:n_ana],
+        "classes": np.array([0, 1, 2, n_ana]),   # last missing
+        "found": np.array([True, True, True, False]),
+    }
+    dis = {
+        "features": rng.standard_normal((n_ana, feat)).astype(np.float32),
+        "classes": np.array([1, 22, 0, 22]),      # 22 = disease sentinel
+    }
+    return ana, dis
+
+
+def test_combine_pair_layout():
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    assert rec["image_features"].shape == (8, 8)
+    assert rec["image_bb"].shape == (8, 4)
+    # disease rows share anatomy boxes (combine via match_bbx contract)
+    np.testing.assert_array_equal(rec["image_bb"][4:], rec["image_bb"][:4])
+    assert rec["image_adj_matrix"].shape == (12, 12)
+    assert rec["semantic_adj_matrix"].shape == (12, 12)
+    labels = rec["bbox_label"]
+    # anatomy classes as-is, missing -> global sentinel
+    assert labels[:4].tolist() == [0, 1, 2, K.NUM_CLASSES]
+    # disease ids offset by the 27 anatomy entries, sentinel stays
+    assert labels[4].tolist() == 27 + 1
+    assert labels[5] == K.NUM_CLASSES
+    # semantic edges only touch valid classes
+    sem = rec["semantic_adj_matrix"]
+    assert (sem[3, :] == 0).all() and (sem[:, 3] == 0).all()
+
+
+def test_h5_writer_roundtrip(tmp_path):
+    from ekaid_tpu.data.pipeline import H5FeatureStore
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12)
+    w.append([rec, rec])
+    w.close()
+    store = H5FeatureStore(path)
+    assert len(store) == 2
+    got = store.get(1)
+    np.testing.assert_allclose(got["feats"], rec["image_features"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(got["adj"], rec["image_adj_matrix"])
+
+
+def test_average_precision_perfect():
+    ap = average_precision([0.9, 0.8], [True, True], num_gt=2)
+    assert abs(ap - 1.0) < 1e-6
+
+
+def test_average_precision_half():
+    # 1 TP then 1 FP over 2 gt: recall reaches 0.5 at precision 1
+    ap = average_precision([0.9, 0.8], [True, False], num_gt=2)
+    assert 0.45 < ap < 0.55
+
+
+def test_detection_evaluator_end_to_end():
+    ev = DetectionEvaluator(num_classes=2)
+    gt_b = np.array([[10, 10, 50, 50], [60, 60, 100, 100]], np.float32)
+    gt_c = np.array([0, 1])
+    gt_v = np.array([True, True])
+    # perfect predictions
+    ev.add_image(gt_b, gt_c, np.array([0.9, 0.8]), np.array([True, True]),
+                 gt_b, gt_c, gt_v)
+    s = ev.summarize()
+    assert abs(s["AP50"] - 1.0) < 1e-6
+    assert abs(s["AR"] - 1.0) < 1e-6
+    # off predictions
+    ev2 = DetectionEvaluator(num_classes=2)
+    off = gt_b + 200.0
+    ev2.add_image(off, gt_c, np.array([0.9, 0.8]),
+                  np.array([True, True]), gt_b, gt_c, gt_v)
+    assert ev2.summarize()["AP50"] == 0.0
