@@ -20,10 +20,10 @@ import re
 from typing import Dict, Iterable, List
 
 _TOKEN_RE = re.compile(
-    r"n't|'(?:s|re|ve|ll|d|m)\b"      # contraction tails
-    r"|[a-zA-Z]+(?:-[a-zA-Z]+)*"      # words incl. hyphenated
-    r"|\d+(?:\.\d+)?"                 # numbers
-    r"|[^\w\s]"                       # each punctuation char
+    r"n't|'(?:s|re|ve|ll|d|m)\b"           # contraction tails
+    r"|\d+\.\d+"                           # decimals
+    r"|[a-zA-Z0-9]+(?:-[a-zA-Z0-9]+)*"     # words/alphanumerics/hyphenated
+    r"|[^\w\s]"                            # each punctuation char
 )
 
 

@@ -1,0 +1,187 @@
+"""Inference server (demo_server.py parity, TPU-native).
+
+The reference serves a PyQt5 client over a raw socket (port 4000,
+demo_server.py:309-435) with commands question / refresh / load_image,
+and fakes a batch of 64 by replicating one sample (:235,49-61) because
+its model path was only exercised at batch 64. Here the server is
+plain HTTP+JSON on the same default port with a *jitted batch-1*
+decode path (no replication), one compile at startup:
+
+  POST /question {"question": str, "index": optional int} ->
+       {"answer": str, "index": int, "question_tokens": [...]}
+  POST /refresh  -> {"index": int}   (new random test pair)
+  GET  /health   -> {"status": "ok", ...}
+  GET  /sample?index=N -> the pair's ground-truth answers + question
+
+Free-form questions tokenize through the same vocabulary as training
+(question2id parity, demo_server.py:66: unknown words drop out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekaid_tpu.config import default_config, load_config
+from ekaid_tpu.data.vocab import treebank_tokenize
+
+
+class InferenceEngine:
+    """Holds the jitted batch-1 decode and the eval dataset."""
+
+    def __init__(self, trainer, seed: int = 0):
+        self.trainer = trainer
+        self.vocab = trainer.vocab
+        self.ds = trainer.eval_ds
+        self.rng = random.Random(seed)
+        self.index = int(self.ds.split_idxs[0])
+
+        model = trainer.model
+
+        @jax.jit
+        def decode1(params, batch):
+            return model.apply(params, batch, method="decode",
+                               sample_max=True)
+
+        self._decode = decode1
+        # warm the compile with the first sample
+        self.answer(None)
+
+    def _batch_for(self, index: int, question_ids: Optional[np.ndarray]):
+        s = self.ds.sample(index)
+        if question_ids is not None:
+            s = dict(s)
+            s["question"] = question_ids.astype(s["question"].dtype)
+        batch = {k: jnp.asarray(v[None]) for k, v in s.items()
+                 if k != "pair_index"}
+        return batch
+
+    def question_to_ids(self, text: str) -> np.ndarray:
+        tokens = treebank_tokenize(text)
+        ids = [self.vocab.word_to_idx[t] for t in tokens
+               if t in self.vocab.word_to_idx]
+        q = np.zeros(self.ds.questions.shape[1], np.int64)
+        q[:len(ids)] = ids[:len(q)]
+        return q
+
+    def refresh(self) -> int:
+        self.index = int(self.rng.choice(list(self.ds.split_idxs)))
+        return self.index
+
+    def answer(self, question_text: Optional[str],
+               index: Optional[int] = None) -> dict:
+        idx = self.index if index is None else int(index)
+        qids = (self.question_to_ids(question_text)
+                if question_text else None)
+        t0 = time.time()
+        out = self._decode(self.trainer.state.params,
+                           self._batch_for(idx, qids))
+        seq = np.asarray(out["seq"])[0]
+        answer = self.vocab.decode(seq)
+        return {"answer": answer, "index": idx,
+                "latency_ms": round(1000 * (time.time() - t0), 2),
+                "question_tokens": (qids[qids > 0].tolist()
+                                    if qids is not None else None)}
+
+    def sample_info(self, index: Optional[int] = None) -> dict:
+        idx = self.index if index is None else int(index)
+        s = self.ds.sample(idx)
+        return {"index": idx,
+                "question": self.vocab.decode(s["question"]),
+                "gt_answer": self.vocab.decode(s["labels"][1:])}
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_GET(self):
+            if self.path.startswith("/health"):
+                self._send({"status": "ok",
+                            "index": engine.index,
+                            "vocab_size": engine.vocab.size})
+            elif self.path.startswith("/sample"):
+                q = self.path.split("index=")
+                idx = int(q[1]) if len(q) > 1 else None
+                try:
+                    self._send(engine.sample_info(idx))
+                except Exception as e:
+                    self._send({"error": str(e)}, 400)
+            else:
+                self._send({"error": "unknown path"}, 404)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._send({"error": "invalid JSON body"}, 400)
+            if self.path.startswith("/question"):
+                text = payload.get("question")
+                if not text:
+                    return self._send(
+                        {"error": "missing 'question' field"}, 400)
+                try:
+                    self._send(engine.answer(text, payload.get("index")))
+                except Exception as e:
+                    self._send({"error": str(e)}, 500)
+            elif self.path.startswith("/refresh"):
+                self._send({"index": engine.refresh()})
+            else:
+                self._send({"error": "unknown path"}, 404)
+
+    return Handler
+
+
+def main(argv=None):
+    from ekaid_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser(description="EKAID-TPU inference server")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--checkpoint", default="best")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--port", type=int, default=4000)   # demo_server.py:376
+    p.add_argument("--host", default="127.0.0.1")
+    a = p.parse_args(argv)
+
+    from ekaid_tpu.train.train import (build_synthetic_trainer,
+                                       build_trainer)
+    cfg = load_config(a.cfg) if a.cfg else default_config()
+    if a.synthetic:
+        trainer = build_synthetic_trainer(cfg, "/tmp/ekaid_serve")
+    else:
+        trainer = build_trainer(cfg, "/tmp/ekaid_serve", "test")
+    if a.checkpoint_dir:
+        from ekaid_tpu.utils.checkpoint import (CheckpointManager,
+                                                abstract_like)
+        mgr = CheckpointManager(a.checkpoint_dir)
+        trainer.state = mgr.restore(abstract_like(trainer.state),
+                                    name=a.checkpoint)
+        print(f"loaded checkpoint step {int(trainer.state.step)}")
+
+    engine = InferenceEngine(trainer)
+    server = ThreadingHTTPServer((a.host, a.port), make_handler(engine))
+    print(f"serving on http://{a.host}:{a.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
