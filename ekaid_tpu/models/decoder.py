@@ -275,3 +275,107 @@ class DynamicSpeaker(nn.Module):
             seq = jnp.swapaxes(seq, 0, 1)
             lps = jnp.swapaxes(lps, 0, 1)
         return {"seq": seq, "logprobs": lps}
+
+    def sample_beam(self, feat_bef, feat_aft, feat_diff,
+                    beam_size: Optional[int] = None
+                    ) -> Dict[str, jnp.ndarray]:
+        """Batched beam search (_sample_beam + CaptionModel.beam_search
+        parity for the single-group case — the shipped configs never set
+        group_size > 1; diverse groups are out of scope and raise).
+
+        Reference semantics kept: BOS priming with `bos_token` (:272),
+        index-1 suppression (CaptionModel.py:137), t==0 expands only one
+        beam (CaptionModel.py:67-68), a beam emitting 0 is finalized and
+        its running sum is killed at -1000 (CaptionModel.py:159-171),
+        final answer is the highest-joint-logprob finished beam.
+
+        Returns seq [B, T] and logprob [B] of the best beam.
+        """
+        c = self.cfg
+        W = beam_size or c.beam_size
+        B, T = feat_bef.shape[0], c.seq_length
+        V = c.vocab_size
+
+        def expand(x):
+            return jnp.repeat(x, W, axis=0)          # [B*W, ...]
+
+        fused, feats = self._fused(expand(feat_bef), expand(feat_diff),
+                                   expand(feat_aft), None)
+        state = self._init_state(B * W)
+        bos = jnp.full((B * W,), c.bos_token, jnp.int32)
+        neg = jnp.asarray(-1e9, self.policy.softmax_dtype)
+
+        def logprobs_for(it, state):
+            xt = self._embed_word(it, None)
+            h_lang, state, dpos, _ = self.core(xt, fused, feats, state,
+                                               drop_key=None)
+            logp, _ = self._out_logprobs(h_lang, dpos, None)
+            # index-1 suppression (CaptionModel.py:137)
+            logp = logp - jnp.where(jnp.arange(V)[None] == 1, 1000.0, 0.0)
+            return logp, state
+
+        def step(carry, t):
+            state, it, seqs, sums, best_seq, best_p = carry
+            logp, state = logprobs_for(it, state)     # [B*W, V]
+            logp = logp.reshape(B, W, V)
+            # beams that already emitted 0 are dead (sum == -1000)
+            cand = sums[:, :, None] + logp            # [B, W, V]
+            # at t == 0 only beam 0 expands (all beams identical)
+            cand = jnp.where((t == 0) & (jnp.arange(W)[None, :, None] > 0),
+                             neg, cand)
+            flat = cand.reshape(B, W * V)
+            top_p, top_i = jax.lax.top_k(flat, W)     # [B, W]
+            src_beam = top_i // V
+            tok = (top_i % V).astype(jnp.int32)
+
+            # reorder carried tensors by the source beam
+            def gather_beams(x):
+                xb = x.reshape(B, W, *x.shape[1:])
+                xg = jnp.take_along_axis(
+                    xb, src_beam.reshape(B, W, *([1] * (xb.ndim - 2))),
+                    axis=1)
+                return xg.reshape(B * W, *x.shape[1:])
+
+            state = {k: gather_beams(v) for k, v in state.items()}
+            seqs = jnp.take_along_axis(seqs, src_beam[:, :, None], axis=1)
+            seqs = seqs.at[:, :, t].set(tok)
+
+            finished = tok == 0
+            # finalize: a finished beam competes for best; then dies
+            cand_best = jnp.where(finished, top_p, neg)
+            grp_best = jnp.max(cand_best, axis=1)
+            grp_arg = jnp.argmax(cand_best, axis=1)
+            improve = grp_best > best_p
+            best_seq = jnp.where(
+                improve[:, None],
+                jnp.take_along_axis(seqs, grp_arg[:, None, None],
+                                    axis=1)[:, 0], best_seq)
+            best_p = jnp.where(improve, grp_best, best_p)
+            sums = jnp.where(finished, -1000.0, top_p)
+            return (state, tok.reshape(B * W), seqs, sums, best_seq,
+                    best_p), None
+
+        seqs0 = jnp.zeros((B, W, T), jnp.int32)
+        sums0 = jnp.zeros((B, W), self.policy.softmax_dtype)
+        best_seq0 = jnp.zeros((B, T), jnp.int32)
+        best_p0 = jnp.full((B,), -jnp.inf, self.policy.softmax_dtype)
+
+        if self.is_mutable_collection("params"):
+            (state, it, seqs, sums, best_seq, best_p), _ = step(
+                (state, bos, seqs0, sums0, best_seq0, best_p0),
+                jnp.int32(0))
+        else:
+            (state, it, seqs, sums, best_seq, best_p), _ = jax.lax.scan(
+                step, (state, bos, seqs0, sums0, best_seq0, best_p0),
+                jnp.arange(T))
+        # unfinished best beam as fallback (t == seq_length case,
+        # CaptionModel.py:160)
+        alive_best = jnp.max(sums, axis=1)
+        alive_arg = jnp.argmax(sums, axis=1)
+        use_alive = alive_best > best_p
+        seq = jnp.where(
+            use_alive[:, None],
+            jnp.take_along_axis(seqs, alive_arg[:, None, None],
+                                axis=1)[:, 0], best_seq)
+        p = jnp.where(use_alive, alive_best, best_p)
+        return {"seq": seq, "logprob": p}

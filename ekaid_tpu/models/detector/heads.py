@@ -46,15 +46,19 @@ class BoxHead(nn.Module):
         feat = nn.relu(nn.Dense(self.fc_dim, dtype=dt, name="fc2")(x))
         scores = nn.Dense(self.num_classes + 1, dtype=dt,
                           name="cls_score")(feat)
+        # deltas stay flat [R, K*4]: a [R, K, 4] layout tile-pads its
+        # 4-lane minor dim 32x on TPU (observed 73x HLO-temp expansion
+        # under grad+remat); consumers reshape only at the final decode
         deltas = nn.Dense(self.num_classes * 4, dtype=dt,
                           name="bbox_pred")(feat)
-        return feat, scores, deltas.reshape(-1, self.num_classes, 4)
+        return feat, scores, deltas
 
 
 def decode_roi_boxes(deltas: jnp.ndarray, proposals: jnp.ndarray,
                      image_size: int) -> jnp.ndarray:
-    """deltas [R, K, 4], proposals [R, 4] -> clipped [R, K, 4]."""
-    boxes = decode_boxes(deltas, proposals[:, None, :],
+    """deltas [R, K*4] flat, proposals [R, 4] -> clipped [R, K, 4]."""
+    k = deltas.shape[-1] // 4
+    boxes = decode_boxes(deltas.reshape(-1, k, 4), proposals[:, None, :],
                          weights=ROI_WEIGHTS)
     return clip_boxes(boxes, image_size)
 
@@ -100,9 +104,10 @@ def roi_loss(scores: jnp.ndarray, deltas: jnp.ndarray,
 
     target_deltas = encode_boxes(proposals, gt_boxes[matched],
                                  weights=ROI_WEIGHTS)
-    picked = jnp.take_along_axis(
-        deltas, jnp.clip(cls_t, 0, num_classes - 1)[:, None, None]
-        .repeat(4, axis=2), axis=1)[:, 0]
+    # gather the matched class's 4 deltas from the flat [R, K*4] layout
+    base = jnp.clip(cls_t, 0, num_classes - 1)[:, None] * 4
+    cols = base + jnp.arange(4)[None, :]
+    picked = jnp.take_along_axis(deltas, cols, axis=1)
     l1 = jnp.sum(jnp.abs(picked - target_deltas), axis=-1)
     pos_w = w * fg.astype(w.dtype)
     box_loss = jnp.sum(l1 * pos_w) / batch_size

@@ -59,7 +59,7 @@ def test_forward_shapes(setup):
     assert out["proposal_valid"].shape == (2, P)
     assert out["roi_features"].shape == (2, P, cfg.roi_feat_dim)
     assert out["cls_scores"].shape == (2, P, K + 1)
-    assert out["box_deltas"].shape == (2, P, K, 4)
+    assert out["box_deltas"].shape == (2, P, K * 4)
     # proposals are within the image
     pr = np.asarray(out["proposals"])
     assert pr.min() >= 0 and pr.max() <= IMG

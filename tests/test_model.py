@@ -188,3 +188,31 @@ def test_branch_mix_and_dir_reduce_variants():
                            outs[("parallel", "reference")])
     assert not np.allclose(outs[("sequential", "reference")],
                            outs[("sequential", "sum")])
+
+
+def test_beam_search(setup):
+    cfg, model, batch, params = setup
+
+    def run_beam(p, b, w):
+        enc = model.apply(p, b, method="encode")
+        return model.apply(
+            p, b,
+            method=lambda m, bb: m.speaker.sample_beam(
+                enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
+                beam_size=w))
+
+    out3 = run_beam(params, batch, 3)
+    seq = np.asarray(out3["seq"])
+    assert seq.shape == (2, cfg.speaker.seq_length)
+    assert np.isfinite(np.asarray(out3["logprob"])).all()
+    # note: beam search suppresses token index 1 (CaptionModel.py:137),
+    # so it need not match greedy decode; wider beams explore a superset
+    # of beam-1, so the best joint logprob must not get worse
+    out1 = run_beam(params, batch, 1)
+    assert (np.asarray(out3["logprob"])
+            >= np.asarray(out1["logprob"]) - 1e-4).all()
+    # token 1 never appears (suppressed)
+    assert (seq != 1).all()
+    # deterministic
+    out3b = run_beam(params, batch, 3)
+    np.testing.assert_array_equal(seq, np.asarray(out3b["seq"]))
