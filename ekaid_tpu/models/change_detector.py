@@ -43,16 +43,82 @@ from ekaid_tpu.ops.graph import position_embedding, position_matrix
 from ekaid_tpu.utils.dtypes import Policy, F32
 
 
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with output LayerNorm (modules.py:17-77,
+    the SSRE block used by the pixels-in mode0 path). Inputs are the
+    question-concatenated node features (dim = 2*att_dim), outputs
+    att_dim."""
+
+    att_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, train: bool = False):
+        assert self.att_dim % self.num_heads == 0, (
+            f"The hidden size ({self.att_dim}) is not a multiple of the "
+            f"number of attention heads ({self.num_heads})")
+        H = self.num_heads
+        dh = self.att_dim // H
+        B, L, _ = q_in.shape
+        q = DenseT(self.att_dim, policy=self.policy, name="query")(q_in)
+        k = DenseT(self.att_dim, policy=self.policy, name="key")(k_in)
+        v = DenseT(self.att_dim, policy=self.policy, name="value")(v_in)
+        qh = q.reshape(B, L, H, dh)
+        kh = k.reshape(B, -1, H, dh)
+        vh = v.reshape(B, -1, H, dh)
+        att = jnp.einsum("blhd,bmhd->bhlm", qh, kh,
+                         preferred_element_type=self.policy.compute_dtype)
+        att = jax.nn.softmax(
+            self.policy.cast_softmax(att) / (dh ** 0.5), axis=-1)
+        att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        ctx = jnp.einsum("bhlm,bmhd->blhd", self.policy.cast_compute(att),
+                         vh, preferred_element_type=self.policy.compute_dtype)
+        ctx = ctx.reshape(B, L, self.att_dim)
+        return nn.LayerNorm(epsilon=1e-6,
+                            dtype=self.policy.compute_dtype)(ctx)
+
+
+class PixelEncoder(nn.Module):
+    """Pixels-in front end (mode0): CNN trunk → per-cell nodes
+    (modules.py:153-160,179-189 — torchvision resnet101 minus head,
+    then fc_reshape 2048→att_dim and flatten h*w into the node axis).
+    Depths (3,4,23,3) = ResNet-101."""
+
+    att_dim: int
+    norm: str = "gn"
+    policy: Policy = F32
+
+    @nn.compact
+    def __call__(self, images):
+        from ekaid_tpu.models.detector.backbone import ResNet
+        if images.ndim == 3:                       # [B, H, W] grayscale
+            images = jnp.repeat(images[..., None], 3, axis=-1)
+        feats = ResNet(depths=(3, 4, 23, 3), norm=self.norm,
+                       policy=self.policy, name="trunk")(images)
+        c5 = feats["c5"]                           # [B, h, w, 2048]
+        x = DenseT(self.att_dim, policy=self.policy, name="fc_reshape")(
+            self.policy.cast_compute(c5))
+        return x.reshape(x.shape[0], -1, self.att_dim)
+
+
 class ChangeDetector(nn.Module):
     cfg: Any                      # ChangeDetectorConfig
     speaker_embed_dim: int        # q_dim for relation encoders (yaml:20)
     ntoken: int                   # question vocab size (len(word_to_idx))
     graph: str = "all"            # all | semantic | spatial | implicit | i+s
+    setting: str = "mode2"        # mode2 = region features, mode0 = pixels
     policy: Policy = F32
 
     def setup(self):
         c = self.cfg
         self.img = DenseT(c.att_dim, policy=self.policy, name="img")
+        if self.setting == "mode0":
+            self.extractor = PixelEncoder(c.att_dim, policy=self.policy,
+                                          name="extractor")
+            self.ssre = SelfAttention(c.att_dim, c.att_head,
+                                      policy=self.policy, name="SSRE")
         self.question = QuestionEncoder(
             self.ntoken, hidden_dim=self.speaker_embed_dim,
             policy=self.policy, name="question")
@@ -61,17 +127,19 @@ class ChangeDetector(nn.Module):
                       out_dim=c.att_dim, dir_num=c.dir_num,
                       nongt_dim=c.nongt_dim, num_heads=c.att_head,
                       dir_reduce=c.dir_reduce, policy=self.policy)
-        if self.graph in ("all", "semantic"):
-            self.semantic_relation = ExplicitRelationEncoder(
-                label_num=c.sem_label_num, name="semantic_relation",
-                **common)
-        if self.graph in ("all", "spatial", "i+s"):
-            self.spatial_relation = ExplicitRelationEncoder(
-                label_num=c.spa_label_num, name="spatial_relation", **common)
-        if self.graph in ("all", "implicit", "i+s"):
-            self.imp_relation = ImplicitRelationEncoder(
-                pos_emb_dim=c.pos_emb_dim, name="imp_relation",
-                **{k: v for k, v in common.items()})
+        if self.setting == "mode2":    # mode0 uses SSRE, no GAT encoders
+            if self.graph in ("all", "semantic"):
+                self.semantic_relation = ExplicitRelationEncoder(
+                    label_num=c.sem_label_num, name="semantic_relation",
+                    **common)
+            if self.graph in ("all", "spatial", "i+s"):
+                self.spatial_relation = ExplicitRelationEncoder(
+                    label_num=c.spa_label_num, name="spatial_relation",
+                    **common)
+            if self.graph in ("all", "implicit", "i+s"):
+                self.imp_relation = ImplicitRelationEncoder(
+                    pos_emb_dim=c.pos_emb_dim, name="imp_relation",
+                    **{k: v for k, v in common.items()})
 
         self.context1 = DenseT(c.att_dim, use_bias=False, policy=self.policy,
                                name="context1")
@@ -142,20 +210,32 @@ class ChangeDetector(nn.Module):
             dkeys = [None] * 6
         drop = lambda x: dropout(x, 0.5, dkeys.pop())  # noqa: E731
 
+        if self.setting == "mode0":
+            # pixels-in: CNN cells become the node axis
+            # (modules.py:179-189,267-275)
+            input_1 = self.extractor(cast(input_1))
+            input_2 = self.extractor(cast(input_2))
+
         input_bef = self.img(cast(input_1))
         input_aft = self.img(cast(input_2))
 
         q_vec = self.question(question, train=train)
 
-        pos_bef = self._position_emb(d_bb) if self.graph in (
-            "all", "implicit", "i+s") else None
-        pos_aft = self._position_emb(q_bb) if self.graph in (
-            "all", "implicit", "i+s") else None
-
-        input_bef = self._encode_image(input_bef, d_adj, d_sem_adj, pos_bef,
-                                       q_vec, train)
-        input_aft = self._encode_image(input_aft, q_adj, q_sem_adj, pos_aft,
-                                       q_vec, train)
+        if self.setting == "mode0":
+            from ekaid_tpu.models.gat import q_expand_v_cat
+            bef2 = q_expand_v_cat(q_vec, input_bef)
+            aft2 = q_expand_v_cat(q_vec, input_aft)
+            input_bef = self.ssre(bef2, bef2, bef2, train=train)
+            input_aft = self.ssre(aft2, aft2, aft2, train=train)
+        else:
+            pos_bef = self._position_emb(d_bb) if self.graph in (
+                "all", "implicit", "i+s") else None
+            pos_aft = self._position_emb(q_bb) if self.graph in (
+                "all", "implicit", "i+s") else None
+            input_bef = self._encode_image(input_bef, d_adj, d_sem_adj,
+                                           pos_bef, q_vec, train)
+            input_aft = self._encode_image(input_aft, q_adj, q_sem_adj,
+                                           pos_aft, q_vec, train)
         input_diff = input_aft - input_bef
 
         # gated context fusion (modules.py:278-288)

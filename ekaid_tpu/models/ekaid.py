@@ -41,7 +41,8 @@ class EkaidModel(nn.Module):
         c = self.cfg
         self.change_detector = ChangeDetector(
             c.change_detector, speaker_embed_dim=c.speaker.embed_dim,
-            ntoken=self.ntoken, graph=c.train.graph, policy=self.policy,
+            ntoken=self.ntoken, graph=c.train.graph,
+            setting=c.train.setting, policy=self.policy,
             name="change_detector")
         self.speaker = DynamicSpeaker(c.speaker, policy=self.policy,
                                       name="speaker")
@@ -58,6 +59,11 @@ class EkaidModel(nn.Module):
         )
 
     def encode(self, batch, train: bool = False) -> Dict[str, jnp.ndarray]:
+        if self.cfg.train.setting == "mode0":
+            # pixels-in: no precomputed graph (modules.py:179-189)
+            return self.change_detector(
+                batch["d_feats"], batch["q_feats"], None, None, None,
+                None, None, None, batch["question"], train=train)
         d_adj, q_adj, d_sem, q_sem = self._adjacencies(batch)
         return self.change_detector(
             batch["d_feats"], batch["q_feats"], d_adj, q_adj, d_sem, q_sem,

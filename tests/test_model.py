@@ -216,3 +216,23 @@ def test_beam_search(setup):
     # deterministic
     out3b = run_beam(params, batch, 3)
     np.testing.assert_array_equal(seq, np.asarray(out3b["seq"]))
+
+
+def test_mode0_pixels_path():
+    cfg = tiny_config()
+    cfg = cfg.replace(train=cfg.train.replace(setting="mode0"))
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    rng = np.random.default_rng(4)
+    batch = synthetic_batch(cfg, 1, seed=4)
+    # pixels replace node features (dataset mode0 returns 128x128 images;
+    # use 64x64 here for speed)
+    batch["d_feats"] = rng.standard_normal((1, 64, 64)).astype(np.float32)
+    batch["q_feats"] = rng.standard_normal((1, 64, 64)).astype(np.float32)
+    batch = jax.tree.map(jnp.asarray, batch)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False)
+    out = model.apply(params, batch, train=False)
+    assert np.isfinite(np.asarray(out["logprobs"])).all()
+    # node axis = 2x2 cells of the 64x64 image (stride 32)
+    assert out["att_bef"].shape == (1, 1, 4)
