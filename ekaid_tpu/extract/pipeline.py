@@ -119,9 +119,18 @@ def combine_pair(ana: Dict[str, np.ndarray], dis: Dict[str, np.ndarray],
                        dis["classes"] + n_ana_classes)
     labels = np.concatenate([ana_cls, dis_cls], 0).astype(np.int64)
 
-    adj = np.zeros((adj_pad, adj_pad), np.int64)
     n = boxes.shape[0]
-    adj[:n, :n] = spatial_adjacency(boxes.astype(np.float32), xp=np)
+    try:
+        from ekaid_tpu.native import bindings as _nat
+        if _nat.available():
+            adj = _nat.spatial_adjacency_batch(
+                boxes.astype(np.float32)[None], pad=adj_pad
+            )[0].astype(np.int64)
+        else:
+            raise ImportError
+    except ImportError:
+        adj = np.zeros((adj_pad, adj_pad), np.int64)
+        adj[:n, :n] = spatial_adjacency(boxes.astype(np.float32), xp=np)
 
     organs = organ_table[labels]
     disease = is_disease[labels]

@@ -21,7 +21,7 @@ from flax import linen as nn
 from ekaid_tpu.models.detector.anchors import pyramid_anchors
 from ekaid_tpu.models.detector.backbone import ResNetFPN
 from ekaid_tpu.models.detector.heads import (BoxHead, decode_roi_boxes,
-                                             roi_loss)
+                                             roi_loss, sample_proposals)
 from ekaid_tpu.models.detector.rpn import (RPNHead, generate_proposals,
                                            rpn_loss)
 from ekaid_tpu.ops.nms import fast_rcnn_nms, top1_per_class
@@ -166,10 +166,15 @@ class FasterRCNN(nn.Module):
                                   gt_valid, rngs[:, 0])
 
         def roi_one(fmaps, rois, rvalid, gb, gc, gv, r):
-            _, cls_scores, box_deltas = self.box_head(fmaps, rois,
+            # sample BEFORE pooling: 512 proposals feed ROIAlign, not the
+            # full post-NMS set (Detectron2 label_and_sample order)
+            idx, w, cls_t, matched = sample_proposals(
+                rois, rvalid, gb, gc, gv, r, self.num_classes)
+            sel = rois[idx]
+            _, cls_scores, box_deltas = self.box_head(fmaps, sel,
                                                       FPN_SCALES)
-            return roi_loss(cls_scores, box_deltas, rois, rvalid, gb, gc,
-                            gv, r, self.num_classes)
+            return roi_loss(cls_scores, box_deltas, sel, cls_t, matched,
+                            w, gb, self.num_classes)
 
         roi_l = jax.vmap(roi_one)(
             [p for p in pyramid[:4]], props, pvalid, gt_boxes,

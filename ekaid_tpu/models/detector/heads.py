@@ -78,37 +78,53 @@ def roi_targets(proposals: jnp.ndarray, gt_boxes: jnp.ndarray,
     return cls.astype(jnp.int32), best
 
 
-def roi_loss(scores: jnp.ndarray, deltas: jnp.ndarray,
-             proposals: jnp.ndarray, proposal_valid: jnp.ndarray,
-             gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
-             gt_valid: jnp.ndarray, rng, num_classes: int,
-             batch_size: int = 512, positive_fraction: float = 0.25
-             ) -> Dict[str, jnp.ndarray]:
-    """Per-image ROI losses: softmax CE over sampled proposals + smooth-L1
-    (here plain L1, Detectron2's default beta=0) on the matched class's
-    deltas for positives."""
+def sample_proposals(proposals: jnp.ndarray, proposal_valid: jnp.ndarray,
+                     gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
+                     gt_valid: jnp.ndarray, rng, num_classes: int,
+                     batch_size: int = 512,
+                     positive_fraction: float = 0.25):
+    """Match + subsample proposals BEFORE pooling (Detectron2's
+    label_and_sample_proposals order — pooling all post-NMS proposals in
+    the train path wastes ~2x ROIAlign memory/compute).
+
+    Returns (idx [S], weight [S], cls_t [S], matched_gt [S]) with
+    S = min(batch_size, R); `weight` zeroes unsampled pad rows.
+    """
     from ekaid_tpu.models.detector.rpn import sample_targets
 
     cls_t, matched = roi_targets(proposals, gt_boxes, gt_classes,
                                  gt_valid, num_classes)
-    # sampling labels: 1 = foreground, 0 = background, -1 = invalid rows
     fg = (cls_t < num_classes) & proposal_valid
     bg = (cls_t == num_classes) & proposal_valid
     s_labels = jnp.where(fg, 1, jnp.where(bg, 0, -1))
     w = sample_targets(s_labels, rng, batch_size=batch_size,
                        positive_fraction=positive_fraction)
+    s = min(batch_size, proposals.shape[0])
+    pri = w + jax.random.uniform(jax.random.fold_in(rng, 7),
+                                 w.shape) * 1e-3
+    _, idx = jax.lax.top_k(pri, s)
+    return idx, w[idx], cls_t[idx], matched[idx]
 
+
+def roi_loss(scores: jnp.ndarray, deltas: jnp.ndarray,
+             proposals: jnp.ndarray, cls_t: jnp.ndarray,
+             matched: jnp.ndarray, weight: jnp.ndarray,
+             gt_boxes: jnp.ndarray, num_classes: int,
+             batch_size: int = 512) -> Dict[str, jnp.ndarray]:
+    """ROI losses over the pre-sampled subset: softmax CE + L1
+    (Detectron2 smooth-L1 beta=0) on the matched class's deltas,
+    normalized by the sampling batch size."""
     logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
     ce = -jnp.take_along_axis(logp, cls_t[:, None], axis=-1)[:, 0]
-    cls_loss = jnp.sum(ce * w) / batch_size
+    cls_loss = jnp.sum(ce * weight) / batch_size
 
     target_deltas = encode_boxes(proposals, gt_boxes[matched],
                                  weights=ROI_WEIGHTS)
-    # gather the matched class's 4 deltas from the flat [R, K*4] layout
+    # gather the matched class's 4 deltas from the flat [S, K*4] layout
     base = jnp.clip(cls_t, 0, num_classes - 1)[:, None] * 4
     cols = base + jnp.arange(4)[None, :]
     picked = jnp.take_along_axis(deltas, cols, axis=1)
     l1 = jnp.sum(jnp.abs(picked - target_deltas), axis=-1)
-    pos_w = w * fg.astype(w.dtype)
-    box_loss = jnp.sum(l1 * pos_w) / batch_size
+    fg = cls_t < num_classes
+    box_loss = jnp.sum(l1 * weight * fg.astype(l1.dtype)) / batch_size
     return {"roi_cls": cls_loss, "roi_box": box_loss}

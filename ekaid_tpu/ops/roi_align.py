@@ -30,6 +30,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_gather(fmap: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
@@ -110,12 +111,67 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          sampling_ratio: int = 2,
                          min_level: int = 2) -> jnp.ndarray:
     """fmaps: list of [H_l, W_l, C] (p2..p5); rois [R, 4] ->
-    [R, out, out, C]. Pools every level densely and selects per ROI."""
+    [R, out, out, C].
+
+    Single-gather formulation: all pyramid levels are flattened into one
+    [sum(H_l*W_l), C] table; each ROI's sample coordinates are computed
+    against its assigned level and indexed with that level's row offset.
+    One gather instead of pooling every level densely (4x less compute
+    and — critically for the training backward — 4x less live memory
+    than the pool-all-and-select formulation).
+    """
     levels = assign_levels(rois, min_level=min_level,
                            max_level=min_level + len(fmaps) - 1)
-    pooled = [roi_align(f, rois, s, out_size, sampling_ratio)
-              for f, s in zip(fmaps, scales)]
-    stacked = jnp.stack(pooled, axis=0)              # [L, R, out, out, C]
-    sel = (levels - min_level)[None, :, None, None, None]
-    lvl_iota = jnp.arange(len(fmaps))[:, None, None, None, None]
-    return jnp.sum(jnp.where(lvl_iota == sel, stacked, 0.0), axis=0)
+    lvl_idx = levels - min_level                     # [R] in [0, L)
+    C = fmaps[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in fmaps], axis=0)
+    heights = jnp.asarray([f.shape[0] for f in fmaps])
+    widths = jnp.asarray([f.shape[1] for f in fmaps])
+    offsets = jnp.asarray(
+        [0] + list(np.cumsum([f.shape[0] * f.shape[1]
+                              for f in fmaps]))[:-1])
+    scale_arr = jnp.asarray(scales, jnp.float32)
+
+    r_scale = scale_arr[lvl_idx]                     # [R]
+    r_h = heights[lvl_idx]
+    r_w = widths[lvl_idx]
+    r_off = offsets[lvl_idx]
+
+    x1 = rois[:, 0] * r_scale - 0.5
+    y1 = rois[:, 1] * r_scale - 0.5
+    roi_w = (rois[:, 2] - rois[:, 0]) * r_scale
+    roi_h = (rois[:, 3] - rois[:, 1]) * r_scale
+
+    s = sampling_ratio
+    bins = jnp.arange(out_size, dtype=jnp.float32)
+    sub = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    grid = (bins[:, None] + sub[None, :]).reshape(-1)   # [out*s]
+    ys = y1[:, None] + (roi_h / out_size)[:, None] * grid[None]  # [R,os]
+    xs = x1[:, None] + (roi_w / out_size)[:, None] * grid[None]
+
+    ys_b = ys[:, :, None]                            # [R, os, 1]
+    xs_b = xs[:, None, :]                            # [R, 1, os]
+    y0 = jnp.floor(ys_b)
+    x0 = jnp.floor(xs_b)
+    ly = ys_b - y0
+    lx = xs_b - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    h = r_h[:, None, None]
+    w = r_w[:, None, None]
+    off = r_off[:, None, None]
+
+    def flat_at(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return flat[off + yc * w + xc]               # [R, os, os, C]
+
+    v = (flat_at(y0i, x0i) * ((1 - ly) * (1 - lx))[..., None]
+         + flat_at(y0i, x0i + 1) * ((1 - ly) * lx)[..., None]
+         + flat_at(y0i + 1, x0i) * (ly * (1 - lx))[..., None]
+         + flat_at(y0i + 1, x0i + 1) * (ly * lx)[..., None])
+    inside = ((ys_b >= -1.0) & (ys_b <= h) & (xs_b >= -1.0) & (xs_b <= w))
+    v = jnp.where(inside[..., None], v, 0.0)
+    v = v.reshape(rois.shape[0], out_size, s, out_size, s, C)
+    return jnp.mean(v, axis=(2, 4))
