@@ -99,6 +99,8 @@ class Trainer:
             state, example)
         self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
         self.best = self.ckpt.best_metric()
+        from ekaid_tpu.utils.logging import MetricsLogger
+        self.logger = MetricsLogger(workdir)
 
     def _device_batch(self, batch) -> Dict:
         batch = {k: v for k, v in batch.items() if k != "pair_index"}
@@ -131,6 +133,7 @@ class Trainer:
                     m["iter_time"] = time.time() - it_start
                     print(f"epoch {epoch} iter {t} "
                           + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                    self.logger.log(t, m, prefix="train/")
                     last_metrics = m
                 if t % cfg.train.snapshot_interval == 0:
                     self.snapshot_and_eval(t, max_batches=eval_fraction)
@@ -147,6 +150,7 @@ class Trainer:
         scores, predictions = self.evaluate(max_batches=max_batches)
         print(f"eval @ {t}: "
               + " ".join(f"{k}={v:.3f}" for k, v in scores.items()))
+        self.logger.log(t, scores, prefix="eval/")
         out = os.path.join(self.workdir, "eval_sents")
         os.makedirs(out, exist_ok=True)
         with open(os.path.join(out, f"eval_results_{t}.json"), "w") as f:

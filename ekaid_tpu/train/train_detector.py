@@ -209,6 +209,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--ckpt_out", default=None)
+    p.add_argument("--gold_csv", default=None,
+                   help="Chest ImaGenome gold bbox CSV (anatomy)")
+    p.add_argument("--vindr_csv", default=None,
+                   help="VinDr-CXR annotations CSV (disease)")
+    p.add_argument("--image_dir", default=None)
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
@@ -223,9 +228,22 @@ def main(argv=None):
 
     trainer = DetectorTrainer(cfg, k, total_steps=a.steps, lr=a.lr,
                               augment_data=not a.no_augment)
-    assert a.synthetic, "real-data detector training needs annotations; " \
-                        "use --synthetic N for now"
-    arrays = synthetic_blob_dataset(a.synthetic, det.image_size, k)
+    if a.synthetic:
+        arrays = synthetic_blob_dataset(a.synthetic, det.image_size, k)
+    elif a.gold_csv or a.vindr_csv:
+        from ekaid_tpu.data.detection import (ImageBoxDataset,
+                                              load_imagenome_gold,
+                                              load_vindr)
+        assert a.image_dir, "--image_dir required with annotation CSVs"
+        loader = (load_imagenome_gold if a.gold_csv else load_vindr)
+        names, boxes, classes, valid = loader(
+            a.gold_csv or a.vindr_csv, image_size=det.image_size)
+        ds = ImageBoxDataset(names, boxes, classes, valid, a.image_dir,
+                             det.image_size)
+        arrays = ds.materialize()
+        print(f"loaded {len(names)} annotated images")
+    else:
+        raise SystemExit("pass --synthetic N or an annotation CSV")
     trainer.fit(arrays, a.steps)
     scores = trainer.evaluate(arrays)
     print({m: round(v, 4) for m, v in scores.items()
@@ -234,8 +252,10 @@ def main(argv=None):
     if a.ckpt_out:
         import orbax.checkpoint as ocp
         import os
-        ocp.StandardCheckpointer().save(os.path.abspath(a.ckpt_out),
-                                        trainer.params, force=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(a.ckpt_out), trainer.params,
+                   force=True)
+        ckptr.wait_until_finished()     # async write must land pre-exit
         print("saved", a.ckpt_out)
 
 
