@@ -228,14 +228,24 @@ class Extractor:
             log_every: int = 50):
         import time
         n_img = 0
+        warm_imgs = 0
         t0 = time.time()
+        t_warm = None
         for i, images in enumerate(image_batches):
             writer.append(self.process_batch(images))
             n_img += images.shape[0]
+            if i == 0:
+                t_warm = time.time()       # first batch pays the compile
+                warm_imgs = n_img
             if (i + 1) % log_every == 0:
                 rate = n_img / (time.time() - t0)
                 print(f"extracted {n_img} images ({rate:.2f} img/s)")
         writer.close()
-        rate = n_img / max(time.time() - t0, 1e-9)
-        print(f"done: {n_img} images at {rate:.2f} img/s")
+        total = max(time.time() - t0, 1e-9)
+        rate = n_img / total
+        msg = f"done: {n_img} images at {rate:.2f} img/s"
+        if t_warm is not None and n_img > warm_imgs:
+            steady = (n_img - warm_imgs) / max(time.time() - t_warm, 1e-9)
+            msg += f" (steady-state {steady:.2f} img/s)"
+        print(msg)
         return n_img

@@ -92,7 +92,8 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed)
         self.rng, init_rng = jax.random.split(rng)
         example = self._device_batch(next(iter(Loader(
-            train_ds, batch_size=train_ds.batch_size, shuffle=False))))
+            train_ds, batch_size=train_ds.batch_size, shuffle=False,
+            pad_final=True))))
         state = init_state(self.model, self.tx, example, init_rng)
         self.jit_train, self.jit_eval, self.state = make_jitted_steps(
             self.model, self.tx, cfg.train.att_reg_weight, self.mesh,

@@ -1,0 +1,80 @@
+"""Inference-server tests: engine + live HTTP round-trip."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from ekaid_tpu.config import default_config
+from ekaid_tpu.serving.server import InferenceEngine, make_handler
+from ekaid_tpu.train.train import build_synthetic_trainer
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    cfg = default_config()
+    cfg = cfg.replace(
+        change_detector=cfg.change_detector.replace(
+            att_dim=32, att_head=4, dim=8, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=32, rnn_size=16, embed_input_dim=96, embed_dim=32,
+            word_embed_size=8, seq_length=8),
+        data=cfg.data.replace(num_nodes=6, feature_dim=24, adj_pad=10,
+                              train=cfg.data.train.replace(batch_size=4),
+                              test=cfg.data.test.replace(batch_size=4)),
+        question=cfg.question.replace(hidden_dim=32))
+    trainer = build_synthetic_trainer(
+        cfg, str(tmp_path_factory.mktemp("serve")), n_pairs=32)
+    return InferenceEngine(trainer)
+
+
+def test_engine_answer(engine):
+    out = engine.answer("w5 w9 what")
+    assert isinstance(out["answer"], str)
+    assert out["latency_ms"] > 0
+    assert out["question_tokens"]         # vocab hits resolved
+
+
+def test_engine_unknown_words_drop(engine):
+    out = engine.answer("zzzzz qqqqq")
+    assert out["question_tokens"] == []   # question2id parity: drop OOV
+
+
+def test_engine_refresh_changes_index(engine):
+    seen = {engine.refresh() for _ in range(10)}
+    assert len(seen) > 1
+
+
+def test_http_round_trip(engine):
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(path, payload=None):
+        if payload is None:
+            req = urllib.request.Request(base + path)
+        else:
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode())
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+
+    status, health = call("/health")
+    assert status == 200 and health["status"] == "ok"
+    status, ans = call("/question", {"question": "what has changed"})
+    assert status == 200 and "answer" in ans
+    status, s = call("/sample")
+    assert status == 200 and "gt_answer" in s
+    # error paths
+    with pytest.raises(urllib.error.HTTPError) as e:
+        call("/question", {"nope": 1})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        call("/bogus")
+    assert e.value.code == 404
+    server.shutdown()
