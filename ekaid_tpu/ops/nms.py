@@ -45,12 +45,13 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_out",))
-def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
-        max_out: int, score_thresh: float = float("-inf")
-        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS. boxes [R,4], scores [R] -> (indices [max_out] int32,
-    valid [max_out] bool). Selection order is descending score, exactly
-    torchvision semantics for distinct scores."""
+def nms_argmax(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+               max_out: int, score_thresh: float = float("-inf")
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS via iterative argmax: `max_out` sequential steps.
+    Reference implementation for tests — on this TPU stack XLA compile
+    time grows pathologically with the loop trip count (>10 min at
+    max_out=1000), so `nms` below uses the blocked formulation."""
     r = boxes.shape[0]
     live = scores > score_thresh
 
@@ -71,6 +72,93 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
     _, out_idx, out_valid = jax.lax.fori_loop(
         0, max_out, body, (live, out_idx, out_valid))
     return out_idx, out_valid
+
+
+def _survivor_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+                   iou_thresh: float, block: int = 256) -> jnp.ndarray:
+    """Exact greedy-NMS survivor set via the blocked TPU algorithm.
+
+    Key fact: the greedy survivor set does not depend on any output cap,
+    so NMS = survivors ∩ top-k by score. Boxes are processed in
+    descending-score order in blocks of `block`: within a block, the
+    "suppressed by a live predecessor" map is iterated to its fixed
+    point (a bounded while loop — converges in at most `block` steps,
+    typically a handful); live block members then suppress everything
+    later in one [B, R] matrix op. Sequential depth is R/block (≈20 for
+    R=5000) instead of max_out (1000), which keeps both compile time and
+    run time small.
+
+    Returns a boolean mask over the ORIGINAL box order.
+    """
+    r = boxes.shape[0]
+    b = min(block, r)
+    nblk = -(-r // b)
+    pad = nblk * b - r
+
+    order = jnp.argsort(-scores, stable=True)
+    sboxes = boxes[order]
+    sscores = scores[order]
+    if pad:
+        sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        sscores = jnp.pad(sscores, (0, pad), constant_values=NEG)
+
+    live = sscores > NEG / 2          # padding + pre-masked rows dead
+
+    def outer(carry, blk_idx):
+        live = carry
+        start = blk_idx * b
+        blk_boxes = jax.lax.dynamic_slice(sboxes, (start, 0), (b, 4))
+        blk_live = jax.lax.dynamic_slice(live, (start,), (b,))
+
+        iou_bb = box_iou(blk_boxes, blk_boxes)
+        upper = (jnp.arange(b)[:, None] < jnp.arange(b)[None, :])
+        sup_map = upper & (iou_bb > iou_thresh)
+
+        def cond(state):
+            s, changed = state
+            return changed
+
+        def fix(state):
+            s, _ = state
+            s_new = blk_live & ~jnp.any(sup_map & s[:, None], axis=0)
+            return s_new, jnp.any(s_new != s)
+
+        blk_alive, _ = jax.lax.while_loop(cond, fix,
+                                          (blk_live, jnp.bool_(True)))
+
+        # live block members suppress every lower-scored box
+        iou_br = box_iou(blk_boxes, sboxes)          # [B, R']
+        hit = jnp.any((iou_br > iou_thresh) & blk_alive[:, None], axis=0)
+        later = jnp.arange(sboxes.shape[0]) >= start + b
+        live = live & ~(hit & later)
+        live = jax.lax.dynamic_update_slice(live, blk_alive, (start,))
+        return live, None
+
+    live, _ = jax.lax.scan(outer, live, jnp.arange(nblk))
+    live = live[:r]
+    mask = jnp.zeros(r, bool).at[order].set(live)
+    return mask
+
+
+@partial(jax.jit, static_argnames=("max_out", "block"))
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
+        max_out: int, score_thresh: float = float("-inf"),
+        block: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS. boxes [R,4], scores [R] -> (indices [max_out] int32,
+    valid [max_out] bool), indices in descending-score order — identical
+    selections to torchvision/`nms_argmax` (blocked algorithm; see
+    `_survivor_mask`)."""
+    live = scores > score_thresh
+    masked = jnp.where(live, scores, NEG)
+    surv = _survivor_mask(boxes, masked, iou_thresh, block=block)
+    sel_scores = jnp.where(surv & live, masked, NEG)
+    k = min(max_out, boxes.shape[0])
+    top, idx = jax.lax.top_k(sel_scores, k)
+    valid = top > NEG
+    if k < max_out:
+        idx = jnp.pad(idx, (0, max_out - k))
+        valid = jnp.pad(valid, (0, max_out - k))
+    return idx.astype(jnp.int32), valid
 
 
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,

@@ -187,3 +187,29 @@ def test_multilevel_roi_align_selects_right_level(rng):
     out = np.asarray(multilevel_roi_align(fmaps, rois, scales, out_size=2))
     np.testing.assert_allclose(out[0], 1.0, rtol=1e-5)
     np.testing.assert_allclose(out[1], 2.0, rtol=1e-5)
+
+
+def test_blocked_nms_equals_argmax_reference(rng):
+    """The blocked survivor-set NMS must make identical selections to the
+    sequential argmax formulation at every size/tie pattern."""
+    from ekaid_tpu.ops.nms import nms_argmax
+    for n in (17, 64, 256, 300, 700):
+        boxes = random_boxes(rng, n, size=1024)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        scores = np.round(scores * 50) / 50          # force ties
+        k = min(n, 150)
+        i1, v1 = nms_argmax(jnp.asarray(boxes), jnp.asarray(scores),
+                            0.5, k)
+        i2, v2 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
+                                      np.asarray(i2)[np.asarray(v2)])
+
+
+def test_blocked_nms_score_thresh(rng):
+    boxes = random_boxes(rng, 40)
+    scores = rng.uniform(0.0, 1.0, 40).astype(np.float32)
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 40,
+                     score_thresh=0.5)
+    kept = np.asarray(idx)[np.asarray(valid)]
+    assert (scores[kept] > 0.5).all()
