@@ -218,9 +218,16 @@ class DynamicSpeaker(nn.Module):
     def sample(self, feat_bef, feat_aft, feat_diff,
                sample_max: bool = True,
                temperature: Optional[float] = None,
-               rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+               rng: Optional[jax.Array] = None,
+               early_exit: bool = True) -> Dict[str, jnp.ndarray]:
         """_sample parity (:287-357): free-running greedy/multinomial decode
         (always eval-mode — the reference only calls it under no_grad).
+
+        `early_exit=True` mirrors the reference's "quit loop if all
+        sequences have finished" (:353-355) with a `lax.while_loop` over
+        the step index — on trained models answers terminate far before
+        the 90-step cap, so this typically cuts decode compute several-
+        fold; outputs are identical either way (post-EOS slots are 0).
 
         Returns seq [B, T] int32 (0-terminated) and logprobs [B, T].
         """
@@ -268,6 +275,28 @@ class DynamicSpeaker(nn.Module):
             _, (tok, lp) = step(carry, (jnp.int32(0), keys[0]))
             seq = jnp.broadcast_to(tok[:, None], (B, T))
             lps = jnp.broadcast_to(lp[:, None], (B, T))
+        elif early_exit:
+            seq0 = jnp.zeros((B, T), jnp.int32)
+            lps0 = jnp.zeros((B, T), jnp.float32)
+
+            def cond(s):
+                t, _, _, unfinished, _, _ = s
+                return (t < T) & jnp.any(unfinished)
+
+            def body(s):
+                t, state, it, unfinished, seq, lps = s
+                (state, nxt, unfinished), (tok, lp) = step(
+                    (state, it, unfinished), (t, keys[t]))
+                seq = jax.lax.dynamic_update_slice(seq, tok[:, None],
+                                                   (0, t))
+                lps = jax.lax.dynamic_update_slice(
+                    lps, lp.astype(lps.dtype)[:, None], (0, t))
+                return t + 1, state, nxt, unfinished, seq, lps
+
+            _, _, _, _, seq, lps = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), state0, bos, jnp.ones((B,), bool), seq0,
+                 lps0))
         else:
             _, (seq, lps) = jax.lax.scan(
                 step, (state0, bos, jnp.ones((B,), bool)),

@@ -236,3 +236,22 @@ def test_mode0_pixels_path():
     assert np.isfinite(np.asarray(out["logprobs"])).all()
     # node axis = 2x2 cells of the 64x64 image (stride 32)
     assert out["att_bef"].shape == (1, 1, 4)
+
+
+def test_early_exit_decode_matches_scan(setup):
+    cfg, model, batch, params = setup
+    # train briefly... not needed: even untrained, outputs must be equal
+    def dec(ee):
+        enc = model.apply(params, batch, method="encode")
+        return model.apply(
+            params, batch,
+            method=lambda m, b: m.speaker.sample(
+                enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
+                sample_max=True, early_exit=ee))
+    a = dec(True)
+    b = dec(False)
+    np.testing.assert_array_equal(np.asarray(a["seq"]),
+                                  np.asarray(b["seq"]))
+    np.testing.assert_allclose(np.asarray(a["logprobs"]),
+                               np.asarray(b["logprobs"]), rtol=1e-5,
+                               atol=1e-6)
