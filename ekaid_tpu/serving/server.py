@@ -37,12 +37,14 @@ from ekaid_tpu.data.vocab import treebank_tokenize
 class InferenceEngine:
     """Holds the jitted batch-1 decode and the eval dataset."""
 
-    def __init__(self, trainer, seed: int = 0):
+    def __init__(self, trainer, seed: int = 0,
+                 image_dir: Optional[str] = None):
         self.trainer = trainer
         self.vocab = trainer.vocab
         self.ds = trainer.eval_ds
         self.rng = random.Random(seed)
         self.index = int(self.ds.split_idxs[0])
+        self.image_dir = image_dir
 
         model = trainer.model
 
@@ -98,6 +100,21 @@ class InferenceEngine:
                 "question": self.vocab.decode(s["question"]),
                 "gt_answer": self.vocab.decode(s["labels"][1:])}
 
+    def image_bytes(self, index: Optional[int] = None,
+                    which: str = "main") -> bytes:
+        """PNG bytes for the study pair (the reference's 'load_image'
+        socket command, demo_server.py:287,428-434). Requires the server
+        to be started with an image directory."""
+        import os
+        if self.image_dir is None:
+            raise FileNotFoundError("server started without --image_dir")
+        idx = self.index if index is None else int(index)
+        col = 0 if which == "main" else 1
+        img_row = int(self.ds.feature_idx[idx][col])
+        path = os.path.join(self.image_dir, f"{img_row}.png")
+        with open(path, "rb") as f:
+            return f.read()
+
 
 def make_handler(engine: InferenceEngine):
     class Handler(BaseHTTPRequestHandler):
@@ -124,6 +141,20 @@ def make_handler(engine: InferenceEngine):
                     self._send(engine.sample_info(idx))
                 except Exception as e:
                     self._send({"error": str(e)}, 400)
+            elif self.path.startswith("/image"):
+                from urllib.parse import parse_qs, urlparse
+                qs = parse_qs(urlparse(self.path).query)
+                try:
+                    body = engine.image_bytes(
+                        int(qs["index"][0]) if "index" in qs else None,
+                        qs.get("which", ["main"])[0])
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except FileNotFoundError as e:
+                    self._send({"error": str(e)}, 404)
             else:
                 self._send({"error": "unknown path"}, 404)
 
@@ -160,6 +191,8 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--port", type=int, default=4000)   # demo_server.py:376
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--image_dir", default=None,
+                   help="PNG directory for the /image endpoint")
     a = p.parse_args(argv)
 
     from ekaid_tpu.train.train import (build_synthetic_trainer,
@@ -177,7 +210,7 @@ def main(argv=None):
                                     name=a.checkpoint)
         print(f"loaded checkpoint step {int(trainer.state.step)}")
 
-    engine = InferenceEngine(trainer)
+    engine = InferenceEngine(trainer, image_dir=a.image_dir)
     server = ThreadingHTTPServer((a.host, a.port), make_handler(engine))
     print(f"serving on http://{a.host}:{a.port}")
     server.serve_forever()
