@@ -87,6 +87,15 @@ class EkaidModel(nn.Module):
             sample_max=sample_max, temperature=temperature, rng=rng)
         return {**enc, **dec}
 
+    def decode_beam(self, batch, beam_size: int = 3):
+        """Beam-search eval path (the reference's _sample dispatches to
+        _sample_beam when beam_size > 1, :299-301)."""
+        enc = self.encode(batch, train=False)
+        dec = self.speaker.sample_beam(
+            enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
+            beam_size=beam_size)
+        return {**enc, **dec}
+
 
 def language_model_loss(logprobs, targets, masks) -> jnp.ndarray:
     """Masked NLL (LanguageModelCriterion, model/utils/utils.py:204-216):
@@ -108,6 +117,30 @@ def attention_regularizer(att_bef, att_aft) -> jnp.ndarray:
     b = att_bef.shape[0]
     return (jnp.sum(att_bef.astype(jnp.float32))
             + jnp.sum(att_aft.astype(jnp.float32))) / (2.0 * b)
+
+
+def entropy_loss(module_weights, masks) -> jnp.ndarray:
+    """Module-attention entropy term (EntropyLoss, utils/utils.py:218-232
+    — defined in the reference, wired but commented out at
+    train_mimic.py:171,245; kept available with weight 0 by default).
+
+    module_weights: [B, T, 3] softmax weights; masks: [B, >=T]."""
+    t = module_weights.shape[1]
+    m = masks[:, :t].astype(jnp.float32)
+    w = module_weights.astype(jnp.float32)
+    b = w * jnp.log(jnp.maximum(w, 1e-12))
+    return -jnp.sum(b * m[..., None]) / module_weights.shape[0]
+
+
+def reward_loss(logprobs_taken, seq, reward) -> jnp.ndarray:
+    """SCST-style policy-gradient loss (RewardCriterion,
+    utils/utils.py:190-202; unused by the reference's training but part
+    of its loss surface). logprobs_taken/reward: [B, T]; seq: [B, T]."""
+    mask = (seq > 0).astype(jnp.float32)
+    mask = jnp.concatenate([jnp.ones_like(mask[:, :1]), mask[:, :-1]],
+                           axis=1)
+    out = -logprobs_taken * reward * mask
+    return jnp.sum(out) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def total_loss(outputs, batch, att_reg_weight: float = 2.5e-3):

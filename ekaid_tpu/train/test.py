@@ -20,14 +20,15 @@ from ekaid_tpu.utils.checkpoint import CheckpointManager, abstract_like
 
 def run_test(trainer: Trainer, checkpoint_dir: str = None,
              checkpoint_name=None, out_path: str = None,
-             max_batches=None):
+             max_batches=None, beam_size: int = 1):
     if checkpoint_dir:
         mgr = CheckpointManager(checkpoint_dir)
         trainer.state = mgr.restore(abstract_like(trainer.state),
                                     name=checkpoint_name)
         print(f"Loaded checkpoint step {int(trainer.state.step)}")
     t0 = time.time()
-    scores, predictions = trainer.evaluate(max_batches=max_batches)
+    scores, predictions = trainer.evaluate(max_batches=max_batches,
+                                           beam_size=beam_size)
     elapsed = time.time() - t0
     n = len(predictions)
     print("Test took %.4f seconds (%d pairs, %.2f pairs/s)"
@@ -59,6 +60,10 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--workdir", default="/tmp/ekaid_test")
+    p.add_argument("--beam_size", type=int, default=1,
+                   help=">1 switches decode to beam search "
+                        "(_sample dispatch parity, "
+                        "dynamic_speaker_change_pos.py:299-301)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
@@ -70,7 +75,8 @@ def main(argv=None):
         trainer = build_trainer(cfg, a.workdir, a.split)
     out = a.out or os.path.join(a.workdir,
                                 f"test_results_{a.split}.json")
-    run_test(trainer, a.checkpoint_dir, a.checkpoint, out, a.max_batches)
+    run_test(trainer, a.checkpoint_dir, a.checkpoint, out, a.max_batches,
+             beam_size=a.beam_size)
 
 
 if __name__ == "__main__":

@@ -164,18 +164,25 @@ class Trainer:
             print("Best checkpoint saved")
         return scores
 
-    def evaluate(self, max_batches: Optional[int] = None):
-        """Greedy decode over the eval split + caption metrics
+    def evaluate(self, max_batches: Optional[int] = None,
+                 beam_size: int = 1):
+        """Greedy (or beam) decode over the eval split + caption metrics
         (train_mimic.py:292-375 parity)."""
+        decode_fn = self.jit_eval
+        if beam_size > 1:
+            import jax as _jax
+            model = self.model
+            decode_fn = _jax.jit(lambda st, b: model.apply(
+                st.params, b, method="decode_beam", beam_size=beam_size))
         loader = Loader(self.eval_ds, shuffle=False, pad_final=True)
         predictions: Dict[str, str] = {}
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             pair_index = batch["pair_index"]
-            out = self.jit_eval(self.state,
-                                shard_batch(self.mesh,
-                                            self._device_batch(batch)))
+            out = decode_fn(self.state,
+                            shard_batch(self.mesh,
+                                        self._device_batch(batch)))
             seqs = np.asarray(out["seq"])
             for j, sent in enumerate(self.vocab.decode_batch(seqs)):
                 predictions[str(int(pair_index[j]))] = sent
