@@ -139,21 +139,32 @@ def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
 
     Params/opt_state follow the TP rules in parallel.mesh (replicated
     where no rule matches); batches shard over 'data'; gradients reduce
-    via GSPMD-inserted psums over ICI. Returns (jit_train, jit_eval,
-    sharded_state).
+    via GSPMD-inserted psums over ICI. Returns (make_train, jit_eval,
+    sharded_state) where make_train(ss_prob) yields the cached compiled
+    step for that scheduled-sampling probability.
     """
     state_sh = _state_shardings(mesh, state)
     state = jax.device_put(state, state_sh)
     b_sh = batch_shardings(mesh, batch)
     rep = replicated(mesh)
 
-    jit_train = jax.jit(
-        partial(train_step, model, tx, att_reg_weight, ss_prob=ss_prob),
-        in_shardings=(state_sh, b_sh, rep),
-        out_shardings=(state_sh, rep),
-        donate_argnums=(0,))      # donate `state`
+    cache = {}
+
+    def make_train(ss: float = ss_prob):
+        """Compiled step for a given scheduled-sampling prob. The ramp
+        (train_mimic.py:195-202) takes at most a handful of distinct
+        values, each compiled once and cached."""
+        key = round(float(ss), 6)
+        if key not in cache:
+            cache[key] = jax.jit(
+                partial(train_step, model, tx, att_reg_weight,
+                        ss_prob=key),
+                in_shardings=(state_sh, b_sh, rep),
+                out_shardings=(state_sh, rep),
+                donate_argnums=(0,))      # donate `state`
+        return cache[key]
 
     jit_eval = jax.jit(
         partial(eval_step, model),
         in_shardings=(state_sh, b_sh))
-    return jit_train, jit_eval, state
+    return make_train, jit_eval, state

@@ -95,9 +95,10 @@ class Trainer:
             train_ds, batch_size=train_ds.batch_size, shuffle=False,
             pad_final=True))))
         state = init_state(self.model, self.tx, example, init_rng)
-        self.jit_train, self.jit_eval, self.state = make_jitted_steps(
+        self.make_train, self.jit_eval, self.state = make_jitted_steps(
             self.model, self.tx, cfg.train.att_reg_weight, self.mesh,
             state, example)
+        self.jit_train = self.make_train(0.0)
         self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
         self.best = self.ckpt.best_metric()
         from ekaid_tpu.utils.logging import MetricsLogger
@@ -118,15 +119,27 @@ class Trainer:
         last_metrics: Dict = {}
         loader = Loader(self.train_ds, shuffle=True, seed=cfg.train.seed)
 
+        def device_batches():
+            """One-ahead device prefetch: device_put is async, so the
+            next batch's host→HBM transfer overlaps the current step
+            (the reference blocks on per-tensor .to(device) transfers,
+            train_mimic.py:213-218)."""
+            it = iter(loader)
+            nxt = None
+            for batch in it:
+                cur = nxt
+                nxt = shard_batch(self.mesh, self._device_batch(batch))
+                if cur is not None:
+                    yield cur
+            if nxt is not None:
+                yield nxt
+
         while t < cfg.train.max_iter:
             ss_prob = ss_prob_for_epoch(cfg, epoch)
-            for batch in loader:
+            step_fn = self.make_train(ss_prob)
+            for device_batch in device_batches():
                 it_start = time.time()
-                pair_index = batch["pair_index"]
-                del pair_index
-                device_batch = shard_batch(self.mesh,
-                                           self._device_batch(batch))
-                self.state, metrics = self.jit_train(
+                self.state, metrics = step_fn(
                     self.state, device_batch, self.rng)
                 t += 1
                 if t % log_every == 0:

@@ -50,8 +50,9 @@ def test_sharded_train_step_runs(data, model_ax):
     cfg = tiny_config()
     model, batch, tx, state = build(cfg, batch_size=8)
     mesh = make_mesh(data=data, model=model_ax)
-    jit_train, jit_eval, state = make_jitted_steps(
+    make_train, jit_eval, state = make_jitted_steps(
         model, tx, cfg.train.att_reg_weight, mesh, state, batch)
+    jit_train = make_train(0.0)
     batch = shard_batch(mesh, batch)
     state, metrics = jit_train(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
@@ -67,14 +68,16 @@ def test_dp_matches_single_device_loss():
 
     # single-device reference (mesh 1x1 on one device)
     mesh1 = make_mesh(devices=jax.devices()[:1], data=1, model=1)
-    jt1, _, s1 = make_jitted_steps(model, tx, cfg.train.att_reg_weight,
+    mk1, _, s1 = make_jitted_steps(model, tx, cfg.train.att_reg_weight,
                                    mesh1, state0, batch)
+    jt1 = mk1(0.0)
     s1, m1 = jt1(s1, shard_batch(mesh1, batch), jax.random.PRNGKey(1))
 
     model2, batch2, tx2, state2 = build(cfg, batch_size=8)
     mesh8 = make_mesh(data=8, model=1)
-    jt8, _, s8 = make_jitted_steps(model2, tx2, cfg.train.att_reg_weight,
+    mk8, _, s8 = make_jitted_steps(model2, tx2, cfg.train.att_reg_weight,
                                    mesh8, state2, batch2)
+    jt8 = mk8(0.0)
     s8, m8 = jt8(s8, shard_batch(mesh8, batch2), jax.random.PRNGKey(1))
 
     np.testing.assert_allclose(float(m1["total_loss"]),
@@ -104,8 +107,9 @@ def test_loss_decreases_over_steps():
         optim=cfg.train.optim.replace(lr=3e-3)))
     model, batch, tx, state = build(cfg, batch_size=8)
     mesh = make_mesh(data=8, model=1)
-    jit_train, _, state = make_jitted_steps(
+    make_train, _, state = make_jitted_steps(
         model, tx, cfg.train.att_reg_weight, mesh, state, batch)
+    jit_train = make_train(0.0)
     batch = shard_batch(mesh, batch)
     losses = []
     rng = jax.random.PRNGKey(2)
