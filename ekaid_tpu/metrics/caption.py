@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 import re
-from collections import Counter, defaultdict
+from collections import Counter
 from typing import Dict, List, Sequence, Tuple
 
 PUNCT = {"{", "}", "(", ")", "[", "]", ".", ",", ";", ":", "-", "--",

@@ -87,16 +87,14 @@ class DetectionEvaluator:
                 iou = _iou_matrix(boxes, gt)
                 taken = np.zeros(len(gt), bool)
                 for i in range(len(boxes)):
-                    j = int(np.argmax(iou[i])) if len(gt) else -1
-                    best = iou[i, j] if len(gt) else 0.0
                     # best unmatched gt above threshold
+                    ok = False
                     if len(gt):
                         cand = np.where(~taken, iou[i], -1.0)
                         j = int(np.argmax(cand))
-                        best = cand[j]
-                    ok = best >= self.thresh
-                    if ok:
-                        taken[j] = True
+                        ok = cand[j] >= self.thresh
+                        if ok:
+                            taken[j] = True
                     scores.append(scs[i])
                     matched.append(bool(ok))
                 if len(gt):

@@ -12,7 +12,7 @@ kept-index tracking → per-class top-1 selection — returning exactly
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -29,8 +29,6 @@ Parity targets (Microsoft VQA_ReGAT lineage):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -217,10 +217,8 @@ def top1_per_class(class_idx: jnp.ndarray, valid: jnp.ndarray,
 
     Returns (slot [num_classes] int32, found [num_classes] bool).
     """
-    m = class_idx.shape[0]
     onehot = (class_idx[None, :] == jnp.arange(num_classes)[:, None])
     onehot = onehot & valid[None, :]
     slot = jnp.argmax(onehot, axis=1).astype(jnp.int32)
     found = jnp.any(onehot, axis=1)
-    del m
     return slot, found

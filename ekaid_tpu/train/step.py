@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ekaid_tpu.models.ekaid import EkaidModel, total_loss
 from ekaid_tpu.parallel.mesh import (batch_shardings, param_shardings,

@@ -1,10 +1,9 @@
 """Extraction pipeline + detection evaluator tests."""
 
 import numpy as np
-import pytest
 
 from ekaid_tpu.data import knowledge as K
-from ekaid_tpu.extract.pipeline import (Extractor, H5Writer, combine_pair,
+from ekaid_tpu.extract.pipeline import (H5Writer, combine_pair,
                                         match_disease_to_anatomy)
 from ekaid_tpu.metrics.detection import (DetectionEvaluator,
                                          average_precision)

@@ -9,7 +9,6 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ekaid_tpu.ops import graph as G
 

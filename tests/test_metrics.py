@@ -2,8 +2,6 @@
 
 import math
 
-import numpy as np
-import pytest
 
 from ekaid_tpu.metrics.caption import (bleu, cider, meteor_lite,
                                        ptb_tokenize, rouge_l, _lcs_len)

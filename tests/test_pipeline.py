@@ -4,12 +4,9 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from ekaid_tpu.config import default_config
-from ekaid_tpu.data.pipeline import (DiffVQADataset, Loader,
-                                     SyntheticFeatureStore,
-                                     synthetic_dataset)
+from ekaid_tpu.data.pipeline import Loader, synthetic_dataset
 from ekaid_tpu.data.preprocess import transform_questions
 from ekaid_tpu.data.vocab import Vocabulary, pos_tag_lite, treebank_tokenize
 
