@@ -47,6 +47,7 @@ class H5FeatureStore(FeatureStore):
 
     def __init__(self, path: str):
         import h5py
+        self.path = path
         self._h5 = h5py.File(path, "r")
         self.features = self._h5["image_features"]
         self.bb = self._h5["image_bb"]
@@ -65,6 +66,11 @@ class H5FeatureStore(FeatureStore):
 
     def __len__(self):
         return self.features.shape[0]
+
+    def clone(self) -> "H5FeatureStore":
+        """Fresh file handle for a worker thread (h5py handles are not
+        safe for concurrent reads)."""
+        return H5FeatureStore(self.path)
 
 
 class SyntheticFeatureStore(FeatureStore):
@@ -224,7 +230,7 @@ class Loader:
             order = rng.permutation(order)
         return order
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batch_indices(self):
         order = self._epoch_order()
         self.epoch += 1
         nb = len(order) // self.batch_size
@@ -238,39 +244,55 @@ class Loader:
                               dtype=tail.dtype)
                 tail = np.concatenate([tail, pad])
             batches.append(tail)
+        return batches
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Multi-worker assembly with deterministic order: worker w
+        builds batches w, w+N, w+2N, … into its own bounded queue (each
+        worker holds a private feature-store handle — h5py handles are
+        not safe for concurrent reads); the consumer round-robins the
+        queues, so batch order matches the single-threaded loader
+        exactly and lookahead is bounded by prefetch per worker."""
+        import copy
+
+        batches = self._batch_indices()
+        n_workers = max(1, min(self.num_threads, len(batches) or 1))
+        qs = [queue.Queue(maxsize=max(1, self.prefetch))
+              for _ in range(n_workers)]
         stop = threading.Event()
 
-        def put(item) -> bool:
-            """Bounded put that aborts when the consumer is gone."""
-            while not stop.is_set():
+        def worker(wid: int):
+            ds = self.ds
+            if n_workers > 1 and hasattr(ds.store, "clone"):
+                ds = copy.copy(self.ds)
+                ds.store = self.ds.store.clone()
+            for bi in range(wid, len(batches), n_workers):
+                if stop.is_set():
+                    return
                 try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+                    item = ("ok", _collate([ds.sample(int(i))
+                                            for i in batches[bi]]))
+                except Exception as e:          # surface in the consumer
+                    item = ("error", e)
+                while not stop.is_set():
+                    try:
+                        qs[wid].put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if item[0] == "error":
+                    return
 
-        def worker():
-            try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    if not put(_collate([self.ds.sample(int(i))
-                                         for i in idxs])):
-                        return
-            finally:
-                put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(n_workers)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                b = q.get()
-                if b is None:
-                    break
-                yield b
+            for bi in range(len(batches)):
+                kind, payload = qs[bi % n_workers].get()
+                if kind == "error":
+                    raise payload
+                yield payload
         finally:
             stop.set()
 
