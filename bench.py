@@ -13,13 +13,38 @@ vs_baseline is null: the reference publishes no numbers (BASELINE.json
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _tpu_responsive(timeout_s: float = 120.0) -> bool:
+    """Probe device init in a child process: a wedged axon claim makes
+    jax.devices() hang indefinitely (see memory: axon-tpu-quirks), which
+    would hang the whole benchmark. A hang in the child is just a
+    timeout here."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s)
+        return b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
+    platform = "tpu"
+    if not _tpu_responsive():
+        # fall back to CPU rather than hanging the driver
+        import os
+        os.environ["EKAID_PLATFORM"] = "cpu"
+        platform = "cpu-fallback"
+
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     from ekaid_tpu.config import default_config
     from ekaid_tpu.data.synthetic import synthetic_batch
     from ekaid_tpu.models.ekaid import EkaidModel
@@ -44,7 +69,7 @@ def main():
     # compile + warmup
     jax.block_until_ready(decode(params, batch))
 
-    iters = 20
+    iters = 20 if platform == "tpu" else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         seq = decode(params, batch)
@@ -57,6 +82,7 @@ def main():
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": None,
+        "platform": platform,
     }))
 
 

@@ -153,17 +153,25 @@ def per_abnormality(gt_file, results_file, disease_names: List[str]
     return out
 
 
-def find_best_checkpoint(eval_dir: str, gt_file: str) -> Tuple[int, float]:
-    """Sweep eval_results_*.json by total accuracy
-    (evaluate_score.py:259-271)."""
+def find_best_checkpoint(eval_dir: str, gt_file: str,
+                         by: str = "accuracy") -> Tuple[int, float]:
+    """Sweep eval_results_*.json for the best checkpoint — by total
+    accuracy (find_the_best, evaluate_score.py:259-271) or by Bleu_1
+    (finding_best_timing, evaluate_score.py:16-41)."""
     best, best_step = 0.0, -1
     for fname in sorted(os.listdir(eval_dir)):
         m = re.match(r"eval_results_(\d+)\.json$", fname)
         if not m:
             continue
-        total, _, _ = accuracy(gt_file, os.path.join(eval_dir, fname))
-        if total > best:
-            best, best_step = total, int(m.group(1))
+        path = os.path.join(eval_dir, fname)
+        if by == "accuracy":
+            score, _, _ = accuracy(gt_file, path)
+        else:
+            coco = CocoCaptions(gt_file)
+            ev = CaptionEvaluator(coco, coco.load_res(path))
+            score = ev.evaluate()["Bleu_1"]
+        if score > best:
+            best, best_step = score, int(m.group(1))
     print("final", best_step, best)
     return best_step, best
 
@@ -179,9 +187,11 @@ def main(argv=None):
     p.add_argument("--question_csv", default=None)
     p.add_argument("--sweep", action="store_true",
                    help="best-checkpoint sweep over a directory")
+    p.add_argument("--sweep_by", default="accuracy",
+                   choices=["accuracy", "bleu"])
     a = p.parse_args(argv)
     if a.sweep:
-        find_best_checkpoint(a.eval_dir, a.gt)
+        find_best_checkpoint(a.eval_dir, a.gt, by=a.sweep_by)
     elif a.acc:
         accuracy(a.gt, a.eval_dir)
     elif a.target_type:

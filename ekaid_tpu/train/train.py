@@ -270,6 +270,10 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--eval_batches", type=int, default=None,
                    help="cap eval batches per snapshot")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest snapshot in the workdir "
+                        "(train_mimic.py:40-43,125-142 parity — plus "
+                        "optimizer state, which the reference drops)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
@@ -292,6 +296,10 @@ def main(argv=None):
         trainer = build_synthetic_trainer(cfg, workdir)
     else:
         trainer = build_trainer(cfg, workdir, a.eval_target)
+    if a.resume and trainer.ckpt.latest_step() is not None:
+        from ekaid_tpu.utils.checkpoint import abstract_like
+        trainer.state = trainer.ckpt.restore(abstract_like(trainer.state))
+        print(f"resumed from step {int(trainer.state.step)}")
     trainer.train(eval_fraction=a.eval_batches)
     trainer.snapshot_and_eval(int(trainer.state.step),
                               max_batches=a.eval_batches)
