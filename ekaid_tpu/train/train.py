@@ -103,6 +103,22 @@ class Trainer:
         self.best = self.ckpt.best_metric()
         from ekaid_tpu.utils.logging import MetricsLogger
         self.logger = MetricsLogger(workdir)
+        self._dump_model_print()
+
+    def _dump_model_print(self):
+        """Architecture dump to <workdir>/model_print
+        (train_mimic.py:162-165 parity): per-parameter shapes/dtypes and
+        the total count."""
+        lines = []
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                self.state.params)[0]:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            lines.append(f"{name}  {tuple(leaf.shape)}  {leaf.dtype}")
+            total += leaf.size
+        lines.append(f"total parameters: {total:,}")
+        with open(os.path.join(self.workdir, "model_print"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
     def _device_batch(self, batch) -> Dict:
         batch = {k: v for k, v in batch.items() if k != "pair_index"}
