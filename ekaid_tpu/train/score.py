@@ -33,7 +33,8 @@ def _load(path_or_obj):
     return path_or_obj
 
 
-def accuracy(gt_file, results_file) -> Tuple[float, float, float]:
+def accuracy(gt_file, results_file, verbose: bool = True
+             ) -> Tuple[float, float, float]:
     """total/open/closed exact-match accuracy (evaluate_score.py:216-251).
     Matches results to GT by image_id."""
     gt = _load(gt_file)["annotations"]
@@ -58,9 +59,10 @@ def accuracy(gt_file, results_file) -> Tuple[float, float, float]:
             correct[2 if closed else 1] += 1
     with np.errstate(invalid="ignore"):
         out = np.where(totals > 0, correct / np.maximum(totals, 1), 0.0)
-    print("total", out[0])
-    print("open", out[1])
-    print("closed", out[2])
+    if verbose:
+        print("total", out[0])
+        print("open", out[1])
+        print("closed", out[2])
     return float(out[0]), float(out[1]), float(out[2])
 
 

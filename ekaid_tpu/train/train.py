@@ -223,7 +223,16 @@ class Trainer:
             {"image_id": k, "caption": v, "id": k}
             for k, v in predictions.items()]})
         ev = CaptionEvaluator(CocoCaptions(annotations=gts), res)
-        return ev.evaluate(), predictions
+        scores = ev.evaluate()
+        # answer accuracy alongside caption metrics (the reference only
+        # computes it post-hoc, evaluate_score.py:216-251)
+        from ekaid_tpu.train.score import accuracy as _acc
+        results = [{"image_id": k, "caption": v}
+                   for k, v in predictions.items()]
+        total, open_a, closed = _acc(gts, results, verbose=False)
+        scores.update({"acc_total": total, "acc_open": open_a,
+                       "acc_closed": closed})
+        return scores, predictions
 
     def _gt_annotations(self, predictions) -> dict:
         if self.gt_annotations is not None:
