@@ -181,6 +181,33 @@ class DetectorTrainer:
             epoch += 1
         return last
 
+    def validation_loss(self, arrays, rng_seed: int = 0
+                        ) -> Dict[str, float]:
+        """Mean loss over a validation set without updating
+        (LossEvalHook parity, evaluator.py:697-758 wired via
+        mytrainer.py:32-42)."""
+        det = self.cfg.detector
+        model = self.model
+        if not hasattr(self, "_val_loss_step"):
+            @jax.jit
+            def val_loss(params, images, gb, gc, gv, rng):
+                return model.apply(params, images, gb, gc, gv, rng,
+                                   method="losses")
+            self._val_loss_step = val_loss
+        rng = jax.random.PRNGKey(rng_seed)
+        sums: Dict[str, float] = {}
+        n = 0
+        for im, bx, cl, vl in batches(arrays, det.batch_size,
+                                      shuffle=False, seed=0):
+            rng, r = jax.random.split(rng)
+            losses = self._val_loss_step(
+                self.params, jnp.asarray(im), jnp.asarray(bx),
+                jnp.asarray(cl), jnp.asarray(vl), r)
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {f"val_{k}": v / max(n, 1) for k, v in sums.items()}
+
     def evaluate(self, arrays) -> Dict[str, float]:
         """AP@0.5 over a dataset (VinbigdataEvaluator surface)."""
         det = self.cfg.detector

@@ -110,3 +110,22 @@ def test_losses_finite_and_differentiable(setup):
         assert np.isfinite(float(v)), k
     gsq = sum(float(jnp.sum(g * g)) for g in jax.tree.leaves(grads))
     assert np.isfinite(gsq) and gsq > 0
+
+
+def test_detector_trainer_cpu_smoke():
+    """DetectorTrainer end-to-end on CPU: a few steps + val loss + AP."""
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.train.train_detector import (DetectorTrainer,
+                                                synthetic_blob_dataset)
+    cfg = default_config()
+    cfg = cfg.replace(detector=cfg.detector.replace(
+        image_size=64, batch_size=4, fpn_channels=16, roi_feat_dim=32,
+        pre_nms_topk=50, post_nms_topk=30))
+    tr = DetectorTrainer(cfg, num_classes=3, total_steps=4, lr=1e-3)
+    arrays = synthetic_blob_dataset(8, 64, 3, seed=1)
+    last = tr.fit(arrays, steps=4, log_every=2)
+    assert np.isfinite(last["total"])
+    vl = tr.validation_loss(arrays)
+    assert np.isfinite(vl["val_total"])
+    scores = tr.evaluate(arrays)
+    assert "AP50" in scores and "AR" in scores
