@@ -133,7 +133,9 @@ class Trainer:
         t = int(self.state.step)
         epoch = t // self.steps_per_epoch
         last_metrics: Dict = {}
-        loader = Loader(self.train_ds, shuffle=True, seed=cfg.train.seed)
+        loader = Loader(self.train_ds, shuffle=True, seed=cfg.train.seed,
+                        num_threads=cfg.data.num_workers,
+                        prefetch=cfg.data.prefetch)
 
         def device_batches():
             """One-ahead device prefetch: device_put is async, so the
@@ -203,7 +205,9 @@ class Trainer:
             model = self.model
             decode_fn = _jax.jit(lambda st, b: model.apply(
                 st.params, b, method="decode_beam", beam_size=beam_size))
-        loader = Loader(self.eval_ds, shuffle=False, pad_final=True)
+        loader = Loader(self.eval_ds, shuffle=False, pad_final=True,
+                        num_threads=self.cfg.data.num_workers,
+                        prefetch=self.cfg.data.prefetch)
         predictions: Dict[str, str] = {}
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:

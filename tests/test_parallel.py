@@ -117,3 +117,13 @@ def test_loss_decreases_over_steps():
         state, metrics = jit_train(state, batch, rng)
         losses.append(float(metrics["speaker_loss"]))
     assert losses[-1] < losses[0] * 0.6, losses[::15]
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver contract: full sharded train step on N virtual devices."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import importlib
+    ge = importlib.import_module("__graft_entry__")
+    ge.dryrun_multichip(8)          # tp+dp mesh 4x2
+    ge.dryrun_multichip(2)          # dp-only mesh 2x1

@@ -107,3 +107,21 @@ def test_best_checkpoint_sweep(tmp_path):
     (tmp_path / "eval_results_200.json").write_text(json.dumps(good))
     step, best = find_best_checkpoint(str(tmp_path), gt_f)
     assert step == 200
+
+
+def test_viz_panels_render(tmp_path):
+    import numpy as np
+    from ekaid_tpu.viz.draw import draw_attention, draw_detections, draw_pair
+    img = np.random.default_rng(0).random((32, 32))
+    boxes = np.array([[2, 2, 12, 12], [15, 5, 28, 20]], np.float32)
+    for fn, args in [
+        (draw_detections, (img, boxes)),
+        (draw_attention, (img, boxes, [0.9, 0.1])),
+    ]:
+        p = tmp_path / f"{fn.__name__}.png"
+        fn(*args, save=str(p))
+        assert p.stat().st_size > 1000
+    p = tmp_path / "pair.png"
+    draw_pair(img, img, "q?", "a", "gt", att_bef=[0.5, 0.5],
+              boxes_bef=boxes, save=str(p))
+    assert p.stat().st_size > 1000
