@@ -213,3 +213,26 @@ def test_blocked_nms_score_thresh(rng):
                      score_thresh=0.5)
     kept = np.asarray(idx)[np.asarray(valid)]
     assert (scores[kept] > 0.5).all()
+
+
+def test_pallas_nms_interpret_matches_blocked(rng, monkeypatch):
+    """The Pallas VMEM kernel (interpret mode on CPU) must select exactly
+    what the blocked/argmax NMS selects."""
+    import jax.experimental.pallas as pl
+    from ekaid_tpu.ops import pallas_nms as pn
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pn.pl, "pallas_call", interp)
+    boxes = random_boxes(rng, 80, size=1024)
+    scores = rng.uniform(0.01, 1.0, 80).astype(np.float32)
+    i1, v1 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 30)
+    i2, v2 = pn.nms_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                           0.5, 30)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
+                                  np.asarray(i2)[np.asarray(v2)])
