@@ -114,7 +114,11 @@ class DiffVQADataset:
                  npz_path: Optional[str] = None,
                  splits_path: Optional[str] = None,
                  vocab: Optional[Vocabulary] = None,
-                 arrays: Optional[Dict[str, np.ndarray]] = None):
+                 arrays: Optional[Dict[str, np.ndarray]] = None,
+                 image_loader=None):
+        #: mode0 (pixels-in) image source: callable idx -> [H, W] float
+        #: (rcc_dataset_pos_mimic.py:142-149,209-219 reads 128² PNGs)
+        self.image_loader = image_loader
         self.cfg = cfg
         self.store = store
         self.split = split
@@ -150,6 +154,38 @@ class DiffVQADataset:
         mode = self.cfg.data.feature_mode
         node_one = self.cfg.data.node_one_num
         fi = self.feature_idx[img_idx]
+        del mode, node_one
+        if self.cfg.data.feature_mode == "mode0":
+            return self._sample_mode0(img_idx, fi)
+        return self._features_for(img_idx, fi)
+
+    def _sample_mode0(self, img_idx: int, fi) -> Dict[str, np.ndarray]:
+        """Pixels-in sample (feature_mode mode0,
+        rcc_dataset_pos_mimic.py:209-219): raw image pair, no graph."""
+        assert self.image_loader is not None, (
+            "feature_mode=mode0 needs an image_loader (idx -> [H, W])")
+        d_img = np.asarray(self.image_loader(int(fi[0])), np.float32)
+        q_img = np.asarray(self.image_loader(int(fi[1])), np.float32)
+        out = self._labels_for(img_idx)
+        out.update({"d_feats": d_img, "q_feats": q_img,
+                    "pair_index": np.int64(img_idx),
+                    "question": self.questions[img_idx].astype(np.int32)})
+        return out
+
+    def _labels_for(self, img_idx: int) -> Dict[str, np.ndarray]:
+        T = self.seq_length
+        labels = np.zeros(T + 1, np.int32)
+        labels[:T] = self.answers[img_idx]
+        mask = np.zeros(T + 1, np.float32)
+        # tokens + one EOS slot (rcc_dataset_pos_mimic.py:260-263)
+        mask[:int((labels != 0).sum()) + 1] = 1.0
+        pos = np.zeros(T + 1, np.int32)
+        pos[:T] = self.pos[img_idx]
+        return {"labels": labels, "pos": pos, "masks": mask}
+
+    def _features_for(self, img_idx: int, fi):
+        mode = self.cfg.data.feature_mode
+        node_one = self.cfg.data.node_one_num
         d = self.store.get(int(fi[0]))
         q = self.store.get(int(fi[1]))
 
@@ -173,24 +209,16 @@ class DiffVQADataset:
         d_feats, d_bb, d_adj, d_sem = slice_mode(d)
         q_feats, q_bb, q_adj, q_sem = slice_mode(q)
 
-        T = self.seq_length
-        labels = np.zeros(T + 1, np.int32)
-        labels[:T] = self.answers[img_idx]
-        mask = np.zeros(T + 1, np.float32)
-        # tokens + one EOS slot (rcc_dataset_pos_mimic.py:260-263)
-        mask[:int((labels != 0).sum()) + 1] = 1.0
-        pos = np.zeros(T + 1, np.int32)
-        pos[:T] = self.pos[img_idx]
-
-        return {
+        out = self._labels_for(img_idx)
+        out.update({
             "d_feats": d_feats, "q_feats": q_feats,
-            "labels": labels, "pos": pos, "masks": mask,
             "pair_index": np.int64(img_idx),
             "d_adj": d_adj, "q_adj": q_adj,
             "d_sem_adj": d_sem, "q_sem_adj": q_sem,
             "d_bb": d_bb, "q_bb": q_bb,
             "question": self.questions[img_idx].astype(np.int32),
-        }
+        })
+        return out
 
 
 def _collate(samples) -> Dict[str, np.ndarray]:

@@ -245,3 +245,40 @@ def test_multiworker_loader_error_propagates():
     import pytest as _pytest
     with _pytest.raises(Boom):
         list(Loader(ds, batch_size=4, shuffle=False, num_threads=3))
+
+
+def test_mode0_dataset_and_training():
+    """Pixels-in dataset → EkaidModel mode0 forward + loss."""
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.models.ekaid import EkaidModel, total_loss
+    from ekaid_tpu.utils.dtypes import F32
+
+    cfg = small_cfg()
+    cfg = cfg.replace(
+        data=cfg.data.replace(feature_mode="mode0"),
+        train=cfg.train.replace(setting="mode0"),
+        change_detector=cfg.change_detector.replace(
+            att_dim=32, att_head=4, dim=8, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=32, rnn_size=16, embed_input_dim=96, embed_dim=32,
+            word_embed_size=8, seq_length=10),
+        question=cfg.question.replace(hidden_dim=32))
+    rng = np.random.default_rng(0)
+    imgs = rng.random((8, 64, 64)).astype(np.float32)
+    ds = synthetic_dataset(cfg, "train", n_pairs=16)
+    ds.image_loader = lambda i: imgs[i % 8]
+    s = ds.sample(0)
+    assert s["d_feats"].shape == (64, 64)
+    assert "d_adj" not in s
+
+    batch = next(iter(Loader(ds, batch_size=4, shuffle=False)))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+              if k != "pair_index"}
+    model = EkaidModel(cfg, ntoken=147, policy=F32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jbatch, train=False)
+    out = model.apply(params, jbatch, train=False)
+    loss, _ = total_loss(out, jbatch, cfg.train.att_reg_weight)
+    assert np.isfinite(float(loss))
