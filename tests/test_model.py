@@ -255,3 +255,54 @@ def test_early_exit_decode_matches_scan(setup):
     np.testing.assert_allclose(np.asarray(a["logprobs"]),
                                np.asarray(b["logprobs"]), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_gat_edge_masking_blocks_influence():
+    """Non-neighbor features must not affect a node's GAT output
+    (graph_att_layer.py:137-154 masking semantics)."""
+    from ekaid_tpu.models.gat import GAttNet
+    rng = np.random.default_rng(0)
+    B, N, D = 1, 6, 32
+    v = rng.standard_normal((B, N, D)).astype(np.float32)
+    # edges only among nodes 0..2 (fully connected block, label 1)
+    adj = np.zeros((B, N, N, 2), np.float32)
+    adj[:, :3, :3, 0] = 1.0
+    net = GAttNet(dir_num=2, label_num=2, in_feat_dim=D, out_feat_dim=D,
+                  nongt_dim=N, dir_reduce="sum")
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(v),
+                      jnp.asarray(adj))
+    out1 = np.asarray(net.apply(params, jnp.asarray(v), jnp.asarray(adj)))
+    # perturb an isolated node (5): nodes 0..2 must be unchanged
+    v2 = v.copy()
+    v2[:, 5] += 10.0
+    out2 = np.asarray(net.apply(params, jnp.asarray(v2),
+                                jnp.asarray(adj)))
+    np.testing.assert_allclose(out1[:, :3], out2[:, :3], rtol=1e-5,
+                               atol=1e-5)
+    # but perturbing a neighbor (1) must change node 0's output
+    v3 = v.copy()
+    v3[:, 1] += 10.0
+    out3 = np.asarray(net.apply(params, jnp.asarray(v3),
+                                jnp.asarray(adj)))
+    assert not np.allclose(out1[:, 0], out3[:, 0], rtol=1e-3)
+
+
+def test_gat_reference_mode_uses_transposed_direction():
+    """dir_reduce='reference' output must equal 2x the direction-1
+    (transposed-adjacency) attention — the executed graph_att.py:95-102
+    semantics."""
+    from ekaid_tpu.models.gat import GAttNet
+    rng = np.random.default_rng(1)
+    B, N, D = 2, 5, 16
+    v = rng.standard_normal((B, N, D)).astype(np.float32)
+    adj = (rng.random((B, N, N, 3)) > 0.6).astype(np.float32)
+    ref = GAttNet(dir_num=2, label_num=3, in_feat_dim=D, out_feat_dim=D,
+                  nongt_dim=N, dir_reduce="reference")
+    params = ref.init(jax.random.PRNGKey(0), jnp.asarray(v),
+                      jnp.asarray(adj))
+    out_ref = np.asarray(ref.apply(params, jnp.asarray(v),
+                                   jnp.asarray(adj)))
+    # asymmetric adjacency -> transposing it must change the output
+    out_t = np.asarray(ref.apply(params, jnp.asarray(v),
+                                 jnp.swapaxes(jnp.asarray(adj), 1, 2)))
+    assert not np.allclose(out_ref, out_t)
