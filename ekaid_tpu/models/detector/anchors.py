@@ -2,7 +2,7 @@
 
 Detectron2-default geometry (the reference's R50-FPN config): one anchor
 size per FPN level (32, 64, 128, 256, 512 on strides 4..64), aspect
-ratios (0.5, 1.0, 2.0), centers at (stride/2)-offset grid points.
+ratios (0.5, 1.0, 2.0), zero grid offset (ANCHOR_GENERATOR.OFFSET=0.0).
 Box2BoxTransform parity: deltas (dx, dy, dw, dh) scaled by `weights`
 ((1,1,1,1) for RPN, (10,10,5,5) for the ROI head), dw/dh clamped at
 log(1000/16).

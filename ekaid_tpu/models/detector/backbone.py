@@ -51,12 +51,17 @@ class Bottleneck(nn.Module):
     out_channels: int           # block output (4x the bottleneck width)
     stride: int = 1
     norm: str = "gn"
-    policy: Policy = F32
+    stride_in_1x1: bool = False  # Detectron2 caffe-R50 places the stride
+    policy: Policy = F32         # on conv1 (RESNETS.STRIDE_IN_1X1=True);
+                                 # required when loading converted
+                                 # reference checkpoints (torch_convert)
 
     @nn.compact
     def __call__(self, x):
         width = self.out_channels // 4
         dt = self.policy.compute_dtype
+        s1, s2 = ((self.stride, 1) if self.stride_in_1x1
+                  else (1, self.stride))
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.out_channels:
             shortcut = nn.Conv(self.out_channels, (1, 1),
@@ -64,10 +69,10 @@ class Bottleneck(nn.Module):
                                dtype=dt, name="conv_sc")(x)
             shortcut = make_norm(self.norm, self.out_channels, self.policy,
                                  "norm_sc")(shortcut)
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=dt,
+        y = nn.Conv(width, (1, 1), strides=s1, use_bias=False, dtype=dt,
                     name="conv1")(x)
         y = nn.relu(make_norm(self.norm, width, self.policy, "norm1")(y))
-        y = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
+        y = nn.Conv(width, (3, 3), strides=s2, padding=1,
                     use_bias=False, dtype=dt, name="conv2")(y)
         y = nn.relu(make_norm(self.norm, width, self.policy, "norm2")(y))
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=dt,
@@ -81,6 +86,7 @@ class ResNet(nn.Module):
     depths: Sequence[int] = (3, 4, 6, 3)       # ResNet-50
     channels: Sequence[int] = (256, 512, 1024, 2048)
     norm: str = "gn"
+    stride_in_1x1: bool = False
     policy: Policy = F32
 
     @nn.compact
@@ -97,6 +103,7 @@ class ResNet(nn.Module):
             for block in range(depth):
                 stride = 2 if (block == 0 and stage > 0) else 1
                 x = Bottleneck(ch, stride=stride, norm=self.norm,
+                               stride_in_1x1=self.stride_in_1x1,
                                policy=self.policy,
                                name=f"c{stage + 2}_b{block}")(x)
             feats[f"c{stage + 2}"] = x
@@ -108,12 +115,14 @@ class ResNetFPN(nn.Module):
 
     out_channels: int = 256
     norm: str = "gn"
+    stride_in_1x1: bool = False
     policy: Policy = F32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         dt = self.policy.compute_dtype
-        c = ResNet(norm=self.norm, policy=self.policy, name="resnet")(x)
+        c = ResNet(norm=self.norm, stride_in_1x1=self.stride_in_1x1,
+                   policy=self.policy, name="resnet")(x)
         laterals = {}
         for lvl in (2, 3, 4, 5):
             laterals[lvl] = nn.Conv(self.out_channels, (1, 1), dtype=dt,

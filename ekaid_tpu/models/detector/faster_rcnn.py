@@ -34,10 +34,12 @@ class FasterRCNN(nn.Module):
     cfg: Any                      # DetectorConfig
     num_classes: int = 26         # 26 anatomy / 22 disease detectors
     norm: str = "gn"
+    stride_in_1x1: bool = False   # True for converted Detectron2 weights
     policy: Policy = F32
 
     def setup(self):
         self.backbone = ResNetFPN(self.cfg.fpn_channels, norm=self.norm,
+                                  stride_in_1x1=self.stride_in_1x1,
                                   policy=self.policy, name="backbone")
         self.rpn = RPNHead(policy=self.policy, name="rpn")
         self.box_head = BoxHead(self.num_classes,

@@ -7,20 +7,20 @@ ROIAlignV2 ("aligned=True"): box coordinates are shifted by -0.5 pixel
 (continuous coordinate convention), each output bin averages a fixed
 `sampling_ratio × sampling_ratio` grid of bilinear samples.
 
-Two implementations:
-  * `roi_align` — pure-jnp gather formulation: builds all sample
-    coordinates, gathers the 4 neighbors per sample with one batched
-    gather, lerps, averages. XLA fuses this into a handful of kernels;
-    it is the reference semantics and the autodiff path.
-  * a Pallas double-buffered variant lives in ekaid_tpu.ops.pallas_roi
-    for the extraction hot path (feature maps stay in HBM; per-ROI tiles
-    are DMA'd into VMEM).
+Implementation: a pure-jnp gather formulation — build all sample
+coordinates, gather the 4 neighbors per sample with one batched gather,
+lerp, average. XLA fuses this into a handful of kernels; it is the
+reference semantics and the autodiff path. (A Pallas tile-DMA variant
+was evaluated and REJECTED on bandwidth math: with C=256 a 64×64 VMEM
+tile per ROI moves ~2 GB/image vs ~0.4 GB for this sparse gather —
+docs/STATUS.md round 1.)
 
 Multi-level pooling (`multilevel_roi_align`) assigns each ROI to an FPN
 level with the canonical heuristic level = floor(k0 + log2(sqrt(area)/224))
-clamped to the pyramid (Detectron2 ROIPooler semantics), then pools every
-level and selects — full dense compute on all levels, which on TPU is
-cheaper than data-dependent partitioning.
+clamped to the pyramid (Detectron2 ROIPooler semantics), then flattens
+all levels into one row table and pools each ROI with a single gather
+against its level's offset — no dense pool-all-levels pass (the earlier
+dense formulation OOM'd training at 29 GB).
 """
 
 from __future__ import annotations

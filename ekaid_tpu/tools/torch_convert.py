@@ -1,10 +1,12 @@
 """Convert reference torch checkpoints into ekaid_tpu param trees.
 
-Covers the model-side checkpoint the reference ships/saves
+Covers (a) the model-side checkpoint the reference ships/saves
 (train_mimic.py:283-287: {change_detector_state, speaker_state,
-model_cfg}) so users migrating from the reference can load trained
-weights without retraining. Torch runs CPU-only here (weights load with
-map_location='cpu', utils/utils.py:11-15 parity).
+model_cfg}) and (b) the Detectron2 R50-FPN detector checkpoints
+(model_final_for_anatomy_gold.pth / model_final_for_vindr.pth,
+train_anatomy.py:561-586) so users migrating from the reference can load
+trained weights without retraining. Torch runs CPU-only here (weights
+load with map_location='cpu', utils/utils.py:11-15 parity).
 
 Mapping notes (kernel layouts):
   * torch Linear weight [out, in] → our kernel [in, out] (transpose);
@@ -152,6 +154,131 @@ def convert_speaker(sd) -> Dict:
     }
 
 
+# ---------------------------------------------------------------------
+# Detectron2 R50-FPN detector checkpoints
+# (reference `model_final_for_anatomy_gold.pth` /
+#  `model_final_for_vindr.pth`, built from the zoo config at
+#  train_anatomy.py:561-586; key layout is Detectron2 GeneralizedRCNN).
+# ---------------------------------------------------------------------
+
+_D2_BN_EPS = 1e-5          # detectron2 FrozenBatchNorm2d eps
+_D2_DEPTHS = (3, 4, 6, 3)  # R50
+
+
+def _conv(sd, prefix: str) -> Dict:
+    """torch conv [out, in, kh, kw] → flax HWIO [kh, kw, in, out]."""
+    out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]),
+                                  (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _d2_frozen_bn(sd, prefix: str) -> Dict:
+    """FrozenBatchNorm2d (weight/bias/running_mean/running_var) →
+    FrozenAffine {scale, bias}: y = x·w/√(var+eps) + (b − mean·w/√(var+eps))."""
+    w = np.asarray(sd[f"{prefix}.norm.weight"], np.float64)
+    b = np.asarray(sd[f"{prefix}.norm.bias"], np.float64)
+    mean = np.asarray(sd[f"{prefix}.norm.running_mean"], np.float64)
+    var = np.asarray(sd[f"{prefix}.norm.running_var"], np.float64)
+    scale = w / np.sqrt(var + _D2_BN_EPS)
+    return {"scale": scale.astype(np.float32),
+            "bias": (b - mean * scale).astype(np.float32)}
+
+
+def _d2_bottleneck(sd, prefix: str) -> Dict:
+    out = {}
+    for i in (1, 2, 3):
+        out[f"conv{i}"] = _conv(sd, f"{prefix}.conv{i}")
+        out[f"norm{i}"] = _d2_frozen_bn(sd, f"{prefix}.conv{i}")
+    if f"{prefix}.shortcut.weight" in sd:
+        out["conv_sc"] = _conv(sd, f"{prefix}.shortcut")
+        out["norm_sc"] = _d2_frozen_bn(sd, f"{prefix}.shortcut")
+    return out
+
+
+def _fc_after_pool(sd, prefix: str, pool: int = 7,
+                   channels: int = 256) -> Dict:
+    """box_head.fc1: torch flattens pooled [C, H, W] C-major; our BoxHead
+    flattens [H, W, C] — permute the input axis accordingly."""
+    w = np.asarray(sd[f"{prefix}.weight"])            # [out, C*H*W]
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, channels, pool, pool)
+    w = np.transpose(w, (2, 3, 1, 0)).reshape(pool * pool * channels,
+                                              out_dim)
+    return {"kernel": np.ascontiguousarray(w),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_detectron2_rcnn(sd, pool: int = 7, channels: int = 256
+                            ) -> Dict:
+    """Detectron2 GeneralizedRCNN state dict → FasterRCNN param tree.
+
+    Load into `FasterRCNN(cfg, num_classes=K, norm='frozen_bn',
+    stride_in_1x1=True)` — Detectron2's caffe-R50 strides the 1×1 conv
+    (RESNETS.STRIDE_IN_1X1 default) and carries frozen BN affines.
+    Inputs must be preprocessed with `detectron2_preprocess` (BGR,
+    0-255, mean-subtracted) for numerical parity.
+    """
+    bu = "backbone.bottom_up"
+    resnet = {"stem_conv": _conv(sd, f"{bu}.stem.conv1"),
+              "stem_norm": _d2_frozen_bn(sd, f"{bu}.stem.conv1")}
+    for stage, depth in enumerate(_D2_DEPTHS):
+        for block in range(depth):
+            resnet[f"c{stage + 2}_b{block}"] = _d2_bottleneck(
+                sd, f"{bu}.res{stage + 2}.{block}")
+    backbone = {"resnet": resnet}
+    for lvl in (2, 3, 4, 5):
+        backbone[f"lateral{lvl}"] = _conv(sd, f"backbone.fpn_lateral{lvl}")
+        backbone[f"out{lvl}"] = _conv(sd, f"backbone.fpn_output{lvl}")
+    rpn = {"conv": _conv(sd, "proposal_generator.rpn_head.conv"),
+           "objectness": _conv(
+               sd, "proposal_generator.rpn_head.objectness_logits"),
+           "deltas": _conv(
+               sd, "proposal_generator.rpn_head.anchor_deltas")}
+    box_head = {
+        "fc1": _fc_after_pool(sd, "roi_heads.box_head.fc1", pool,
+                              channels),
+        "fc2": _linear(sd, "roi_heads.box_head.fc2"),
+        "cls_score": _linear(sd, "roi_heads.box_predictor.cls_score"),
+        "bbox_pred": _linear(sd, "roi_heads.box_predictor.bbox_pred"),
+    }
+    return {"backbone": backbone, "rpn": rpn, "box_head": box_head}
+
+
+def detectron2_preprocess(images_rgb01: np.ndarray,
+                          pixel_mean=(103.530, 116.280, 123.675),
+                          pixel_std=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """[B, H, W, 3] RGB in [0, 1] → caffe-BGR normalized, matching the
+    reference predictor's input format (DefaultPredictor input_format
+    'BGR' with the zoo R50-FPN pixel_mean/std buffers). Defaults are the
+    checkpoint's own `pixel_mean`/`pixel_std` values when present."""
+    bgr = images_rgb01[..., ::-1] * 255.0
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    return ((bgr - mean) / std).astype(np.float32)
+
+
+def convert_detector_checkpoint(torch_ckpt_path: str) -> Dict:
+    """Reference detector .pth → {'params': {...}} + preprocessing info.
+
+    Handles both raw state dicts and DetectionCheckpointer's
+    {'model': ...} wrapper.
+    """
+    import torch
+    ck = torch.load(torch_ckpt_path, map_location="cpu",
+                    weights_only=False)
+    sd = ck.get("model", ck)
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in sd.items()}
+    params = convert_detectron2_rcnn(sd)
+    meta = {}
+    if "pixel_mean" in sd:
+        meta["pixel_mean"] = np.asarray(sd["pixel_mean"]).reshape(-1)
+        meta["pixel_std"] = np.asarray(sd["pixel_std"]).reshape(-1)
+    return {"params": params, "meta": meta}
+
+
 def convert_checkpoint(torch_ckpt_path: str) -> Dict:
     """Reference .pt checkpoint → {'params': {...}} pytree."""
     import torch
@@ -173,8 +300,16 @@ def main(argv=None):
         description="Convert a reference torch checkpoint to ekaid_tpu")
     p.add_argument("torch_ckpt")
     p.add_argument("out_dir")
+    p.add_argument("--kind", choices=("model", "detector"),
+                   default="model",
+                   help="'model' = ChangeDetector+speaker .pt; "
+                        "'detector' = Detectron2 R50-FPN .pth")
     a = p.parse_args(argv)
-    params = convert_checkpoint(a.torch_ckpt)
+    if a.kind == "detector":
+        params = {"params": convert_detector_checkpoint(a.torch_ckpt)
+                  ["params"]}
+    else:
+        params = convert_checkpoint(a.torch_ckpt)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(a.out_dir), params, force=True)
     ckptr.wait_until_finished()

@@ -7,8 +7,9 @@ train-vindr-online.py:268-283) with WarmupCosineLR and a validation
 AP@0.5 hook (mytrainer.py:11-43, evaluator.py:40-41).
 
 Here: one jitted donated train step over the device mesh, host-side
-numpy augmentation (flip / shift-scale / brightness-contrast — the same
-three transforms, box-aware), optax warmup-cosine, and the native
+numpy augmentation (flip / shift-scale-ROTATE / brightness-contrast —
+the same three transforms with the reference's parameters, box-aware
+rotation via the corner-hull rule), optax warmup-cosine, and the native
 DetectionEvaluator. Datasets are (image, boxes, classes, valid) tuples;
 a COCO-style JSON loader and a synthetic-blob dataset are provided.
 """
@@ -58,13 +59,55 @@ def synthetic_blob_dataset(n_images: int, image_size: int,
     return images, boxes, classes, valid
 
 
+def affine_warp(img: np.ndarray, boxes: np.ndarray, angle_deg: float,
+                scale: float, dx: float, dy: float, image_size: int):
+    """One shift-scale-rotate about the image center with bilinear
+    resampling (zero fill) + box corner transform (the rotated box's
+    axis-aligned hull, albumentations bbox_shift_scale_rotate
+    semantics). img [S, S, C]; boxes [G, 4] xyxy."""
+    a = np.deg2rad(angle_deg)
+    cos, sin = np.cos(a), np.sin(a)
+    c = (image_size - 1) / 2.0
+
+    # inverse map for sampling: src = R^-1((dst - c - t)) / s + c
+    ys, xs = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    u = xs - c - dx
+    v = ys - c - dy
+    xsrc = (cos * u + sin * v) / scale + c
+    ysrc = (-sin * u + cos * v) / scale + c
+    x0 = np.floor(xsrc).astype(np.int64)
+    y0 = np.floor(ysrc).astype(np.int64)
+    fx = (xsrc - x0)[..., None]
+    fy = (ysrc - y0)[..., None]
+
+    def tap(yy, xx):
+        inb = (yy >= 0) & (yy < image_size) & (xx >= 0) & (xx < image_size)
+        val = img[np.clip(yy, 0, image_size - 1),
+                  np.clip(xx, 0, image_size - 1)]
+        return val * inb[..., None]
+
+    out = ((1 - fy) * ((1 - fx) * tap(y0, x0) + fx * tap(y0, x0 + 1))
+           + fy * ((1 - fx) * tap(y0 + 1, x0) + fx * tap(y0 + 1, x0 + 1)))
+
+    # forward-map the 4 corners, take the axis-aligned hull
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    cx = np.stack([x1, x2, x1, x2], axis=1) - c       # [G, 4]
+    cy = np.stack([y1, y1, y2, y2], axis=1) - c
+    nx = scale * (cos * cx - sin * cy) + c + dx
+    ny = scale * (sin * cx + cos * cy) + c + dy
+    new_boxes = np.stack([nx.min(1), ny.min(1), nx.max(1), ny.max(1)],
+                         axis=1)
+    return out.astype(img.dtype), np.clip(new_boxes, 0, image_size)
+
+
 def augment(images, boxes, rng, image_size: int,
-            flip_p: float = 0.5, shift_limit: float = 0.1,
-            scale_limit: float = 0.15, brightness: float = 0.2):
+            flip_p: float = 0.5, shift_limit: float = 0.0625,
+            scale_limit: float = 0.15, rotate_limit: float = 10.0,
+            ssr_p: float = 0.5, brightness: float = 0.2):
     """Host-side box-aware augmentation (train-vindr-online.py:268-283
-    transform set: HorizontalFlip, ShiftScaleRotate (rotation omitted —
-    box-aware rotation changes box semantics; shift+scale kept),
-    RandomBrightnessContrast)."""
+    transform set + parameters: HorizontalFlip p=0.5,
+    ShiftScaleRotate(scale_limit=0.15, rotate_limit=10, p=0.5),
+    RandomBrightnessContrast p=0.5)."""
     out_i = images.copy()
     out_b = boxes.copy()
     b = images.shape[0]
@@ -74,16 +117,18 @@ def augment(images, boxes, rng, image_size: int,
             x1 = image_size - out_b[i, :, 2]
             x2 = image_size - out_b[i, :, 0]
             out_b[i, :, 0], out_b[i, :, 2] = x1, x2
-        # shift + scale via integer roll and brightness jitter
-        dx = int(rng.uniform(-shift_limit, shift_limit) * image_size)
-        dy = int(rng.uniform(-shift_limit, shift_limit) * image_size)
-        out_i[i] = np.roll(out_i[i], (dy, dx), axis=(0, 1))
-        out_b[i, :, [0, 2]] = np.clip(out_b[i, :, [0, 2]] + dx, 0,
-                                      image_size)
-        out_b[i, :, [1, 3]] = np.clip(out_b[i, :, [1, 3]] + dy, 0,
-                                      image_size)
-        out_i[i] = out_i[i] * rng.uniform(1 - brightness, 1 + brightness) \
-            + rng.uniform(-brightness, brightness) * 0.1
+        if rng.random() < ssr_p:
+            out_i[i], out_b[i] = affine_warp(
+                out_i[i], out_b[i],
+                angle_deg=rng.uniform(-rotate_limit, rotate_limit),
+                scale=1.0 + rng.uniform(-scale_limit, scale_limit),
+                dx=rng.uniform(-shift_limit, shift_limit) * image_size,
+                dy=rng.uniform(-shift_limit, shift_limit) * image_size,
+                image_size=image_size)
+        if rng.random() < 0.5:
+            out_i[i] = (out_i[i]
+                        * rng.uniform(1 - brightness, 1 + brightness)
+                        + rng.uniform(-brightness, brightness) * 0.1)
     return out_i, out_b
 
 
@@ -238,6 +283,12 @@ def main(argv=None):
     p.add_argument("--ckpt_out", default=None)
     p.add_argument("--gold_csv", default=None,
                    help="Chest ImaGenome gold bbox CSV (anatomy)")
+    p.add_argument("--scene_graph_dir", default=None,
+                   help="Chest ImaGenome silver scene-graph JSON dir "
+                        "(anatomy, the reference's primary data path)")
+    p.add_argument("--shapes_pkl", default=None,
+                   help="mimic_shape_full.pkl-style original-shape map "
+                        "(required with --scene_graph_dir)")
     p.add_argument("--vindr_csv", default=None,
                    help="VinDr-CXR annotations CSV (disease)")
     p.add_argument("--image_dir", default=None)
@@ -257,20 +308,28 @@ def main(argv=None):
                               augment_data=not a.no_augment)
     if a.synthetic:
         arrays = synthetic_blob_dataset(a.synthetic, det.image_size, k)
-    elif a.gold_csv or a.vindr_csv:
+    elif a.gold_csv or a.vindr_csv or a.scene_graph_dir:
         from ekaid_tpu.data.detection import (ImageBoxDataset,
                                               load_imagenome_gold,
-                                              load_vindr)
-        assert a.image_dir, "--image_dir required with annotation CSVs"
-        loader = (load_imagenome_gold if a.gold_csv else load_vindr)
-        names, boxes, classes, valid = loader(
-            a.gold_csv or a.vindr_csv, image_size=det.image_size)
+                                              load_imagenome_silver,
+                                              load_shapes, load_vindr)
+        assert a.image_dir, "--image_dir required with annotations"
+        if a.scene_graph_dir:
+            assert a.shapes_pkl, "--shapes_pkl required with silver " \
+                "scene graphs (boxes live in the 224-pad frame)"
+            names, boxes, classes, valid = load_imagenome_silver(
+                a.scene_graph_dir, load_shapes(a.shapes_pkl),
+                image_size=det.image_size)
+        else:
+            loader = (load_imagenome_gold if a.gold_csv else load_vindr)
+            names, boxes, classes, valid = loader(
+                a.gold_csv or a.vindr_csv, image_size=det.image_size)
         ds = ImageBoxDataset(names, boxes, classes, valid, a.image_dir,
                              det.image_size)
         arrays = ds.materialize()
         print(f"loaded {len(names)} annotated images")
     else:
-        raise SystemExit("pass --synthetic N or an annotation CSV")
+        raise SystemExit("pass --synthetic N or an annotation source")
     trainer.fit(arrays, a.steps)
     scores = trainer.evaluate(arrays)
     print({m: round(v, 4) for m, v in scores.items()

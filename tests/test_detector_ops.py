@@ -236,3 +236,55 @@ def test_pallas_nms_interpret_matches_blocked(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
                                   np.asarray(i2)[np.asarray(v2)])
+
+
+def test_affine_warp_identity_and_rotation():
+    """Rotation augmentation fixtures (train-vindr-online.py:280
+    ShiftScaleRotate parity): identity warp is exact; a 90-degree
+    rotation maps boxes to their rotated hull."""
+    from ekaid_tpu.train.train_detector import affine_warp
+
+    S = 64
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (S, S, 3)).astype(np.float32)
+    boxes = np.asarray([[10.0, 20.0, 30.0, 28.0]])
+
+    # identity
+    out, ob = affine_warp(img, boxes, 0.0, 1.0, 0.0, 0.0, S)
+    np.testing.assert_allclose(out, img, atol=1e-5)
+    np.testing.assert_allclose(ob, boxes, atol=1e-5)
+
+    # 90 deg about center c = (S-1)/2: (x, y) -> (c - (y - c), c + (x - c))
+    out, ob = affine_warp(img, boxes, 90.0, 1.0, 0.0, 0.0, S)
+    c = (S - 1) / 2
+    xs = [c - (20 - c), c - (28 - c)]
+    ys = [c + (10 - c), c + (30 - c)]
+    want = [min(xs), min(ys), max(xs), max(ys)]
+    np.testing.assert_allclose(ob[0], want, atol=1e-4)
+    # pixel content rotated: sample a point and compare
+    # dst (x', y') pulls from src (x, y) with the inverse map
+    np.testing.assert_allclose(out[40, 20], img[int(c + (c - 20)),
+                                                int(40)], atol=1e-4)
+
+    # pure shift moves boxes by (dx, dy)
+    out, ob = affine_warp(img, boxes, 0.0, 1.0, 5.0, -3.0, S)
+    np.testing.assert_allclose(ob[0], [15, 17, 35, 25], atol=1e-5)
+    # scale about center grows the box (fixture stays in frame unclipped)
+    out, ob = affine_warp(img, np.asarray([[25.0, 25.0, 45.0, 35.0]]),
+                          0.0, 1.5, 0.0, 0.0, S)
+    np.testing.assert_allclose(ob[0, 2] - ob[0, 0], 30.0, atol=1e-4)
+    np.testing.assert_allclose(ob[0, 3] - ob[0, 1], 15.0, atol=1e-4)
+
+
+def test_augment_rotation_keeps_boxes_valid():
+    from ekaid_tpu.train.train_detector import augment
+
+    S = 64
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 1, (4, S, S, 3)).astype(np.float32)
+    boxes = np.tile(np.asarray([[8.0, 8.0, 40.0, 48.0]]), (4, 1, 1))
+    out_i, out_b = augment(images, boxes, rng, S)
+    assert out_i.shape == images.shape
+    assert (out_b[..., 2] >= out_b[..., 0]).all()
+    assert (out_b[..., 3] >= out_b[..., 1]).all()
+    assert out_b.min() >= 0 and out_b.max() <= S
