@@ -78,6 +78,12 @@ class SpeakerConfig:
     pos_classes: int = 16        # POS head width (dynamic_speaker_change_pos.py:74)
     decoding_constraint: int = 0  # _sample default cfg.get('decoding_contraint',0)
     beam_size: int = 1
+    # Diverse beam search (CaptionModel.py:106-108 defaults): beams are
+    # split into `group_size` groups of beam_size//group_size; group g's
+    # logits are penalized by diversity_lambda per occurrence of each
+    # token earlier groups picked at the same local step.
+    group_size: int = 1
+    diversity_lambda: float = 0.5
     temperature: float = 1.0
     # BOS token fed at step 0 of free-running decode. The reference primes
     # with index 2 (dynamic_speaker_change_pos.py:272,311) even though the

@@ -12,13 +12,15 @@ Semantics follow the COCO caption evaluation definitions:
     F-beta with beta = 1.2, averaged over images.
   * CIDEr — tf-idf n-gram cosine for n = 1..4, idf from the reference
     corpus, Gaussian length penalty sigma = 6, scores scaled by 10.
-  * METEOR — DOCUMENTED DEVIATION: the reference invokes the METEOR-1.5
-    Java jar (synonym/paraphrase stages need WordNet + paraphrase
-    tables, unavailable here). `meteor_lite` implements the exact +
-    Porter-stem match stages with the standard parameters
-    (alpha=.9, beta=3, gamma=.5), best-reference per segment, averaged.
-    Scores are comparable run-to-run within this framework but not
-    numerically identical to Java METEOR.
+  * METEOR — `meteor15` implements the METEOR-1.5 scoring the
+    reference's jar runs (weighted exact/stem/synonym stages,
+    content/function delta weighting, rank-task parameters) over a
+    bundled pluggable synonym/function-word resource
+    (metrics/meteor_resources.py). DOCUMENTED DEVIATIONS: the paraphrase
+    module is omitted (60 MB corpus table) and the alignment is staged-
+    greedy rather than the jar's chunk-minimizing search; `meteor_lite`
+    (exact+stem, 2005 parameters) remains as the fast fallback. The
+    lite-vs-1.5 delta is pinned in tests/test_metrics.py.
 
 Tokenization mirrors PTBTokenizer's observable behavior on this corpus:
 lowercase, split, drop pure-punctuation tokens.
@@ -256,9 +258,105 @@ def _meteor_align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     return m, chunks
 
 
+def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
+    """Staged greedy one-to-one alignment with per-match stage ids.
+
+    Stages in METEOR-1.5 module order: 0 exact, 1 stem, 2 synonym.
+    Returns (pairs [(hyp_i, ref_j, stage)], chunks). DOCUMENTED
+    APPROXIMATION: the jar searches alignments maximizing coverage then
+    minimizing chunks; the staged greedy here matches its coverage on
+    this corpus's short answers but can differ in chunk count on
+    adversarial orderings.
+    """
+    ref_used = [False] * len(ref)
+    align = [(-1, -1)] * len(hyp)     # (ref_j, stage)
+
+    def try_stage(stage, eq):
+        for i, h in enumerate(hyp):
+            if align[i][0] >= 0:
+                continue
+            for j, r in enumerate(ref):
+                if not ref_used[j] and eq(h, r):
+                    align[i] = (j, stage)
+                    ref_used[j] = True
+                    break
+
+    try_stage(0, lambda h, r: h == r)
+    try_stage(1, lambda h, r: _STEM(h) == _STEM(r))
+    if syn_idx:
+        def syn_eq(h, r):
+            return bool(syn_idx.get(h, set()) & syn_idx.get(r, set()))
+        try_stage(2, syn_eq)
+    pairs = [(i, j, s) for i, (j, s) in enumerate(align) if j >= 0]
+    chunks = 0
+    prev = None
+    for i, j, s in pairs:
+        if prev is None or j != prev + 1:
+            chunks += 1
+        prev = j
+    return pairs, chunks
+
+
+def meteor15(gts, res, alpha: float = 0.85, beta: float = 0.2,
+             gamma: float = 0.6, delta: float = 0.75,
+             weights=(1.0, 0.6, 0.8), synonyms=None,
+             function_words=None):
+    """METEOR-1.5 scoring (the configuration the reference's
+    pycocoevalcap jar runs: English rank task — alpha .85, beta .2,
+    gamma .6, delta .75, module weights exact 1.0 / stem 0.6 /
+    synonym 0.8; evaluation.py:42).
+
+    Weighted precision/recall with content/function-word delta
+    weighting, harmonic Fmean, fragmentation penalty gamma·(ch/m)^beta,
+    best reference per segment, averaged over segments. The paraphrase
+    module (weight 0.6) is not implemented — its table is a 60 MB
+    corpus artifact; synonyms/function_words are pluggable
+    (metrics/meteor_resources.py)."""
+    from ekaid_tpu.metrics.meteor_resources import (FUNCTION_WORDS,
+                                                    synonym_index)
+    syn_idx = synonym_index(synonyms)
+    fw = (FUNCTION_WORDS if function_words is None
+          else frozenset(function_words))
+
+    def wlen(tokens):
+        nc = sum(1 for t in tokens if t not in fw)
+        nf = len(tokens) - nc
+        return delta * nc + (1 - delta) * nf
+
+    scores = {}
+    for img, cand in res.items():
+        best = 0.0
+        for ref in gts[img]:
+            if not cand or not ref:
+                continue
+            pairs, ch = _meteor15_align(cand, ref, syn_idx)
+            m = len(pairs)
+            if m == 0:
+                continue
+            wp = sum(weights[s] * (delta if cand[i] not in fw
+                                   else 1 - delta)
+                     for i, j, s in pairs)
+            wr = sum(weights[s] * (delta if ref[j] not in fw
+                                   else 1 - delta)
+                     for i, j, s in pairs)
+            p = wp / max(wlen(cand), 1e-9)
+            r = wr / max(wlen(ref), 1e-9)
+            if p + r == 0:
+                continue
+            fmean = p * r / (alpha * p + (1 - alpha) * r)
+            pen = gamma * (ch / m) ** beta
+            best = max(best, fmean * (1 - pen))
+        scores[img] = best
+    mean = sum(scores.values()) / max(len(scores), 1)
+    return mean, scores
+
+
 def meteor_lite(gts, res, alpha: float = 0.9, beta: float = 3.0,
                 gamma: float = 0.5):
-    """Exact+stem METEOR; per-image best reference, averaged."""
+    """Exact+stem METEOR (the 2005 parameters); kept as the fast
+    fallback scorer and for comparison against `meteor15` (the measured
+    delta between the two is pinned in tests/test_metrics.py and
+    recorded in docs/PARITY.md)."""
     scores = {}
     for img, cand in res.items():
         best = 0.0

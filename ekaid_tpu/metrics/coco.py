@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 from typing import Dict, List, Optional
 
-from ekaid_tpu.metrics.caption import (bleu, cider, meteor_lite,
+from ekaid_tpu.metrics.caption import (bleu, cider, meteor15,
                                        ptb_tokenize, rouge_l)
 
 
@@ -69,7 +69,7 @@ class CaptionEvaluator:
         for k in range(4):
             self._set(f"Bleu_{k + 1}", bleu_scores[k],
                       {i: s[k] for i, s in bleu_img.items()})
-        m, m_img = meteor_lite(gts, res)
+        m, m_img = meteor15(gts, res)      # METEOR-1.5 scoring
         self._set("METEOR", m, m_img)
         r, r_img = rouge_l(gts, res)
         self._set("ROUGE_L", r, r_img)

@@ -107,3 +107,54 @@ class DetectionEvaluator:
         return {"AP50": ap50,
                 "AR": float(np.mean(recalls)) if recalls else 0.0,
                 **{f"AP50-c{c}": v for c, v in per_class_ap.items()}}
+
+
+def proposal_recall(proposals, scores, valid, gt_boxes, gt_valid,
+                    limits: Sequence[int] = (100, 1000),
+                    iou_lo: float = 0.5, iou_hi: float = 0.95,
+                    iou_step: float = 0.05) -> Dict[str, float]:
+    """Class-agnostic proposal AR (the reference's inherited
+    COCOEvaluator box-proposal mode, evaluator.py:462
+    `_evaluate_box_proposals` semantics: objectness-sorted top-`limit`
+    proposals matched greedily to GT at each IoU in 0.5:0.05:0.95;
+    AR@limit = mean recall over the threshold grid).
+
+    Batched arrays: proposals [N, R, 4], scores [N, R], valid [N, R],
+    gt_boxes [N, G, 4], gt_valid [N, G].
+    """
+    thresholds = np.arange(iou_lo, iou_hi + 1e-9, iou_step)
+    out = {}
+    n = len(proposals)
+    for limit in limits:
+        recalls_per_t = []
+        gt_overlaps: List[np.ndarray] = []
+        for i in range(n):
+            gt = np.asarray(gt_boxes[i])[np.asarray(gt_valid[i], bool)]
+            if len(gt) == 0:
+                continue
+            sel = np.asarray(valid[i], bool)
+            props = np.asarray(proposals[i])[sel]
+            scs = np.asarray(scores[i])[sel]
+            order = np.argsort(-scs, kind="stable")[:limit]
+            props = props[order]
+            iou = _iou_matrix(props, gt)            # [P, G]
+            # greedy: repeatedly take the global best pair (the COCO
+            # proposal evaluator's argmax-and-remove loop)
+            overlaps = np.zeros(len(gt))
+            iou_w = iou.copy()
+            for _ in range(min(len(props), len(gt))):
+                j = int(np.argmax(iou_w.max(axis=0)))
+                p = int(np.argmax(iou_w[:, j]))
+                if iou_w[p, j] <= 0:
+                    break
+                overlaps[j] = iou_w[p, j]
+                iou_w[p, :] = -1
+                iou_w[:, j] = -1
+            gt_overlaps.append(overlaps)
+        if not gt_overlaps:
+            out[f"AR@{limit}"] = 0.0
+            continue
+        allo = np.concatenate(gt_overlaps)
+        recalls_per_t = [(allo >= t).mean() for t in thresholds]
+        out[f"AR@{limit}"] = float(np.mean(recalls_per_t))
+    return out

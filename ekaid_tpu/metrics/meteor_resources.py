@@ -1,0 +1,104 @@
+"""Bundled language resources for METEOR-1.5 scoring.
+
+The reference invokes the METEOR-1.5 Java jar (evaluation.py:42), whose
+English configuration ships a function-word list and WordNet synonymy.
+Neither the jar nor WordNet is available in this environment, so:
+
+  * FUNCTION_WORDS — the standard English function-word inventory the
+    METEOR English task uses for its delta-weighting (closed-class
+    words: determiners, pronouns, prepositions, conjunctions,
+    auxiliaries, common adverbial particles).
+  * SYNONYMS — a mini WordNet-synset subset covering general English
+    plus the MIMIC-Diff-VQA answer-vocabulary domain (the shipped vocab
+    is 147 words, model/data/vocab_mimic_VQA.json). Each inner set is
+    one synset; words sharing any synset match in the synonym stage.
+
+Both are pluggable: `meteor15(..., synonyms=..., function_words=...)`
+accepts replacements (e.g. a full WordNet export) for users who need
+bit-parity with the jar.
+"""
+
+from __future__ import annotations
+
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both either
+neither much many more most little less least few fewer enough such
+what which who whom whose
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves
+in on at by for with about against between into through during before
+after above below to from up down out off over under again further
+of as
+and or but nor so yet if because although though while whereas since
+until unless when where how why whether than
+be am is are was were been being
+have has had having do does did doing
+will would shall should may might must can could
+not n't there here then once only also very too just
+""".split())
+
+# Each set is one synset. Curated from WordNet 3.0 synsets restricted
+# to vocabulary plausible in chest-X-ray difference-VQA answers plus
+# high-frequency general English.
+SYNONYMS = [
+    # general English
+    {"big", "large"},
+    {"small", "little"},
+    {"image", "picture"},
+    {"show", "demonstrate", "exhibit"},
+    {"see", "observe"},
+    {"area", "region", "zone"},
+    {"middle", "center", "centre"},
+    {"start", "begin"},
+    {"stop", "halt"},
+    {"new", "fresh"},
+    {"same", "identical"},
+    {"change", "alteration", "modification"},
+    {"increase", "addition", "gain"},
+    {"decrease", "diminution", "reduction"},
+    {"improve", "better", "ameliorate"},
+    {"worsen", "decline"},
+    {"remove", "take"},
+    {"patient", "affected"},
+    # medical / radiology domain (WordNet noun synsets)
+    {"disease", "illness", "sickness", "malady", "unwellness"},
+    {"abnormality", "abnormalcy"},
+    {"lung", "lungs"},
+    {"heart", "pump", "ticker"},
+    {"rib", "ribs"},
+    {"chest", "thorax", "pectus"},
+    {"bone", "os"},
+    {"fluid", "liquid"},
+    {"swelling", "puffiness", "lump"},
+    {"infection", "contagion"},
+    {"pneumonia", "pneumonic"},
+    {"fracture", "break"},
+    {"shadow", "shadowiness"},
+    {"mass", "tumor", "tumour", "neoplasm", "growth"},
+    {"nodule", "tubercle"},
+    {"enlarged", "hypertrophied"},
+    {"collapse", "collapsed"},
+    {"scar", "cicatrix", "cicatrice"},
+    {"tube", "tubing"},
+    {"wire", "conducting"},
+    {"device", "gimmick", "twist"},
+    {"left", "leftover"},
+    {"level", "degree", "grade"},
+    {"location", "placement", "position", "locating"},
+    {"type", "kind", "sort", "form"},
+    {"present", "nowadays"},
+    {"absent", "missing"},
+    {"yes", "yeah"},
+    {"no", "nope"},
+]
+
+
+def synonym_index(synsets=None):
+    """word -> set of synset ids, for O(1) synonymy tests."""
+    idx = {}
+    for sid, syn in enumerate(synsets if synsets is not None
+                              else SYNONYMS):
+        for w in syn:
+            idx.setdefault(w, set()).add(sid)
+    return idx

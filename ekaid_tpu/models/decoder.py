@@ -306,22 +306,44 @@ class DynamicSpeaker(nn.Module):
         return {"seq": seq, "logprobs": lps}
 
     def sample_beam(self, feat_bef, feat_aft, feat_diff,
-                    beam_size: Optional[int] = None
+                    beam_size: Optional[int] = None,
+                    group_size: Optional[int] = None,
+                    diversity_lambda: Optional[float] = None
                     ) -> Dict[str, jnp.ndarray]:
-        """Batched beam search (_sample_beam + CaptionModel.beam_search
-        parity for the single-group case — the shipped configs never set
-        group_size > 1; diverse groups are out of scope and raise).
+        """Batched diverse-group beam search (_sample_beam +
+        CaptionModel.beam_search parity, incl. group diversity,
+        CaptionModel.py:34-50,129-181).
 
         Reference semantics kept: BOS priming with `bos_token` (:272),
-        index-1 suppression (CaptionModel.py:137), t==0 expands only one
-        beam (CaptionModel.py:67-68), a beam emitting 0 is finalized and
-        its running sum is killed at -1000 (CaptionModel.py:159-171),
-        final answer is the highest-joint-logprob finished beam.
+        index-1 suppression (CaptionModel.py:137), local t==0 expands
+        only one beam (CaptionModel.py:67-68), a beam emitting 0 is
+        finalized and its running sum is killed at -1000
+        (CaptionModel.py:159-171), candidate ranking uses the
+        diversity-AUGMENTED cumulative logprob (CaptionModel.py:76,171),
+        and the returned answer is group 0's best beam
+        (done_beams[0]['seq'], dynamic_speaker_change_pos.py:280).
 
-        Returns seq [B, T] and logprob [B] of the best beam.
+        Groups run on the reference's staggered schedule (group g is at
+        local step t−g at global step t; groups are advanced in
+        ascending order within a step, so group g's diversity penalty
+        reads earlier groups' CURRENT token rows — including history
+        rewritten by their later beam forks, CaptionModel.py:38-46,87-90).
+        Each occurrence of a token among an earlier group's `bdash`
+        beams at the same local step subtracts `diversity_lambda` once
+        (the reference's stacking subtraction, CaptionModel.py:41-45).
+
+        Returns seq [B, T] + logprob [B] (group 0's best), and
+        group_seqs [B, G, T] + group_logprobs [B, G] over all groups.
         """
         c = self.cfg
-        W = beam_size or c.beam_size
+        W_total = beam_size or c.beam_size
+        G = group_size if group_size is not None else c.group_size
+        lam = (diversity_lambda if diversity_lambda is not None
+               else c.diversity_lambda)
+        if W_total % G:
+            raise ValueError(f"beam_size {W_total} not divisible by "
+                             f"group_size {G}")
+        W = W_total // G                          # bdash
         B, T = feat_bef.shape[0], c.seq_length
         V = c.vocab_size
 
@@ -330,7 +352,6 @@ class DynamicSpeaker(nn.Module):
 
         fused, feats = self._fused(expand(feat_bef), expand(feat_diff),
                                    expand(feat_aft), None)
-        state = self._init_state(B * W)
         bos = jnp.full((B * W,), c.bos_token, jnp.int32)
         neg = jnp.asarray(-1e9, self.policy.softmax_dtype)
 
@@ -343,15 +364,31 @@ class DynamicSpeaker(nn.Module):
             logp = logp - jnp.where(jnp.arange(V)[None] == 1, 1000.0, 0.0)
             return logp, state
 
-        def step(carry, t):
-            state, it, seqs, sums, best_seq, best_p = carry
+        def group_step(gstate, lt, prev_rows):
+            """One beam step for one group at local time `lt`.
+            prev_rows: [P, B, W] same-local-step tokens of the P earlier
+            groups (None for group 0)."""
+            state, it, seqs, sums, best_seq, best_p = gstate
             logp, state = logprobs_for(it, state)     # [B*W, V]
             logp = logp.reshape(B, W, V)
+            if c.decoding_constraint:
+                # suppress the previous emitted word (CaptionModel.py:134)
+                banned = (jnp.arange(V)[None, None]
+                          == it.reshape(B, W)[:, :, None]) & (lt > 0)
+                logp = jnp.where(banned, -jnp.inf, logp)
+            if prev_rows is not None:
+                # diversity: −λ per occurrence across earlier groups'
+                # beams (add_diversity, CaptionModel.py:38-46)
+                counts = jax.vmap(
+                    lambda toks: jnp.zeros(V).at[toks].add(1.0))(
+                        jnp.swapaxes(prev_rows, 0, 1).reshape(B, -1))
+                logp = logp - lam * counts[:, None, :].astype(logp.dtype)
             # beams that already emitted 0 are dead (sum == -1000)
             cand = sums[:, :, None] + logp            # [B, W, V]
-            # at t == 0 only beam 0 expands (all beams identical)
-            cand = jnp.where((t == 0) & (jnp.arange(W)[None, :, None] > 0),
-                             neg, cand)
+            # at local t == 0 only beam 0 expands (all beams identical)
+            cand = jnp.where(
+                (lt == 0) & (jnp.arange(W)[None, :, None] > 0), neg,
+                cand)
             flat = cand.reshape(B, W * V)
             top_p, top_i = jax.lax.top_k(flat, W)     # [B, W]
             src_beam = top_i // V
@@ -367,7 +404,7 @@ class DynamicSpeaker(nn.Module):
 
             state = {k: gather_beams(v) for k, v in state.items()}
             seqs = jnp.take_along_axis(seqs, src_beam[:, :, None], axis=1)
-            seqs = seqs.at[:, :, t].set(tok)
+            seqs = seqs.at[:, :, lt].set(tok)
 
             finished = tok == 0
             # finalize: a finished beam competes for best; then dies
@@ -382,29 +419,57 @@ class DynamicSpeaker(nn.Module):
             best_p = jnp.where(improve, grp_best, best_p)
             sums = jnp.where(finished, -1000.0, top_p)
             return (state, tok.reshape(B * W), seqs, sums, best_seq,
-                    best_p), None
+                    best_p)
 
-        seqs0 = jnp.zeros((B, W, T), jnp.int32)
-        sums0 = jnp.zeros((B, W), self.policy.softmax_dtype)
-        best_seq0 = jnp.zeros((B, T), jnp.int32)
-        best_p0 = jnp.full((B,), -jnp.inf, self.policy.softmax_dtype)
+        def init_gstate():
+            return (self._init_state(B * W), bos,
+                    jnp.zeros((B, W, T), jnp.int32),
+                    jnp.zeros((B, W), self.policy.softmax_dtype),
+                    jnp.zeros((B, T), jnp.int32),
+                    jnp.full((B,), -jnp.inf, self.policy.softmax_dtype))
 
         if self.is_mutable_collection("params"):
-            (state, it, seqs, sums, best_seq, best_p), _ = step(
-                (state, bos, seqs0, sums0, best_seq0, best_p0),
-                jnp.int32(0))
+            # init trace: one eager step materializes every parameter
+            gstates = [group_step(init_gstate(), jnp.int32(0), None)]
         else:
-            (state, it, seqs, sums, best_seq, best_p), _ = jax.lax.scan(
-                step, (state, bos, seqs0, sums0, best_seq0, best_p0),
-                jnp.arange(T))
-        # unfinished best beam as fallback (t == seq_length case,
-        # CaptionModel.py:160)
-        alive_best = jnp.max(sums, axis=1)
-        alive_arg = jnp.argmax(sums, axis=1)
-        use_alive = alive_best > best_p
-        seq = jnp.where(
-            use_alive[:, None],
-            jnp.take_along_axis(seqs, alive_arg[:, None, None],
-                                axis=1)[:, 0], best_seq)
-        p = jnp.where(use_alive, alive_best, best_p)
-        return {"seq": seq, "logprob": p}
+            def body(carry, t):
+                gstates = list(carry)
+                for g in range(G):
+                    lt = t - g
+                    active = (t >= g) & (t < T + g)
+                    if g == 0:
+                        prev_rows = None
+                    else:
+                        # earlier groups' tokens at THIS group's local
+                        # step, from their current (post-fork) tables
+                        prev_rows = jnp.stack([
+                            jax.lax.dynamic_slice_in_dim(
+                                gstates[p][2], jnp.clip(lt, 0, T - 1), 1,
+                                axis=2)[:, :, 0]
+                            for p in range(g)])        # [g, B, W]
+                    new = group_step(gstates[g], lt, prev_rows)
+                    gstates[g] = jax.tree.map(
+                        lambda n, o: jnp.where(active, n, o), new,
+                        gstates[g])
+                return tuple(gstates), None
+
+            carry = tuple(init_gstate() for _ in range(G))
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(T + G - 1))
+            gstates = list(carry)
+
+        # per group: unfinished best beam as fallback (the
+        # t == seq_length finalize, CaptionModel.py:160)
+        g_seqs, g_ps = [], []
+        for (state, it, seqs, sums, best_seq, best_p) in gstates:
+            alive_best = jnp.max(sums, axis=1)
+            alive_arg = jnp.argmax(sums, axis=1)
+            use_alive = alive_best > best_p
+            seq = jnp.where(
+                use_alive[:, None],
+                jnp.take_along_axis(seqs, alive_arg[:, None, None],
+                                    axis=1)[:, 0], best_seq)
+            g_seqs.append(seq)
+            g_ps.append(jnp.where(use_alive, alive_best, best_p))
+        return {"seq": g_seqs[0], "logprob": g_ps[0],
+                "group_seqs": jnp.stack(g_seqs, axis=1),
+                "group_logprobs": jnp.stack(g_ps, axis=1)}

@@ -87,13 +87,17 @@ class EkaidModel(nn.Module):
             sample_max=sample_max, temperature=temperature, rng=rng)
         return {**enc, **dec}
 
-    def decode_beam(self, batch, beam_size: int = 3):
+    def decode_beam(self, batch, beam_size: int = 3,
+                    group_size: Optional[int] = None,
+                    diversity_lambda: Optional[float] = None):
         """Beam-search eval path (the reference's _sample dispatches to
-        _sample_beam when beam_size > 1, :299-301)."""
+        _sample_beam when beam_size > 1, :299-301); group_size > 1
+        enables diverse groups (CaptionModel.py:34-50)."""
         enc = self.encode(batch, train=False)
         dec = self.speaker.sample_beam(
             enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
-            beam_size=beam_size)
+            beam_size=beam_size, group_size=group_size,
+            diversity_lambda=diversity_lambda)
         return {**enc, **dec}
 
 

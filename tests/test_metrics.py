@@ -2,6 +2,7 @@
 
 import math
 
+import numpy as np
 
 from ekaid_tpu.metrics.caption import (bleu, cider, meteor_lite,
                                        ptb_tokenize, rouge_l, _lcs_len)
@@ -136,3 +137,83 @@ def test_evaluator_subset_param():
     ev = CaptionEvaluator(gts, res)
     scores = ev.evaluate()
     assert abs(scores["Bleu_1"] - 1.0) < 1e-6
+
+
+def test_meteor15_hand_computed():
+    """METEOR-1.5 fixtures computed by hand from the published formula
+    (alpha .85, beta .2, gamma .6, delta .75, weights 1/.6/.8)."""
+    from ekaid_tpu.metrics.caption import meteor15
+
+    # identical 1 content word: P=R=1, Fmean=1, ch/m=1 -> pen=0.6
+    mean, _ = meteor15({"a": [["pneumonia"]]}, {"a": ["pneumonia"]})
+    np.testing.assert_allclose(mean, 0.4, atol=1e-9)
+
+    # identical 4 content words, one chunk: pen = .6*(1/4)^.2
+    toks = ["pleural", "effusion", "has", "worsened"]
+    # 'has' is a function word -> enters with weight (1-delta)
+    mean, _ = meteor15({"a": [toks]}, {"a": toks})
+    pen = 0.6 * (1 / 4) ** 0.2
+    np.testing.assert_allclose(mean, 1 - pen, atol=1e-9)
+
+    # synonym stage: 'illness' ~ 'disease' (weight .8)
+    mean, _ = meteor15({"a": [["disease"]]}, {"a": ["illness"]})
+    # P = .8*delta/delta = .8 = R; Fmean = .8; pen = .6
+    np.testing.assert_allclose(mean, 0.8 * 0.4, atol=1e-9)
+
+    # no match -> 0
+    mean, _ = meteor15({"a": [["normal"]]}, {"a": ["collapsed"]})
+    assert mean == 0.0
+
+
+def test_meteor15_vs_lite_delta_pinned():
+    """Quantifies the lite-vs-1.5 deviation on a fixed answer-style
+    corpus (the number documented in docs/PARITY.md)."""
+    from ekaid_tpu.metrics.caption import meteor15
+
+    gts = {
+        "1": [["yes"]],
+        "2": [["no"]],
+        "3": [["the", "pleural", "effusion", "has", "worsened"]],
+        "4": [["there", "is", "a", "new", "nodule", "in", "the",
+               "left", "lung"]],
+        "5": [["nothing", "has", "changed"]],
+        "6": [["pneumonia"]],
+    }
+    res = {
+        "1": ["yes"],
+        "2": ["yes"],
+        "3": ["the", "effusion", "is", "worse"],
+        "4": ["a", "nodule", "appears", "in", "the", "left", "lung"],
+        "5": ["nothing", "changed"],
+        "6": ["pneumonic", "infection"],
+    }
+    lite, _ = meteor_lite(gts, res)
+    full, _ = meteor15(gts, res)
+    assert 0 < full < 1 and 0 < lite < 1
+    # pinned measured values (regression anchors; see docs/PARITY.md)
+    np.testing.assert_allclose(lite, 0.2864, atol=2e-3)
+    np.testing.assert_allclose(full, 0.2588, atol=2e-3)
+
+
+def test_proposal_recall():
+    """Proposal-mode AR (evaluator.py:462 parity): hand-computable
+    fixture — 2 GT, one proposal hits IoU 1.0, one hits ~0.6."""
+    from ekaid_tpu.metrics.detection import proposal_recall
+
+    gt = np.asarray([[[0, 0, 10, 10], [20, 20, 30, 30]]], np.float32)
+    gt_valid = np.asarray([[True, True]])
+    props = np.asarray([[[0, 0, 10, 10],          # exact hit
+                         [20, 20, 30, 26.67],     # IoU ~ 0.667
+                         [50, 50, 60, 60]]], np.float32)
+    scores = np.asarray([[0.9, 0.8, 0.7]])
+    valid = np.ones((1, 3), bool)
+    out = proposal_recall(props, scores, valid, gt, gt_valid,
+                          limits=(100,))
+    # overlaps = [1.0, 0.667]; thresholds 0.5..0.95 (10 values):
+    # gt1 counted at all 10, gt2 at 0.5..0.65 (4) -> AR = (10+4)/20
+    np.testing.assert_allclose(out["AR@100"], 14 / 20, atol=1e-6)
+
+    # limit=1 keeps only the top-scoring proposal -> gt2 never matched
+    out = proposal_recall(props, scores, valid, gt, gt_valid,
+                          limits=(1,))
+    np.testing.assert_allclose(out["AR@1"], 10 / 20, atol=1e-6)

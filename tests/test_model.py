@@ -306,3 +306,121 @@ def test_gat_reference_mode_uses_transposed_direction():
     out_t = np.asarray(ref.apply(params, jnp.asarray(v),
                                  jnp.swapaxes(jnp.asarray(adj), 1, 2)))
     assert not np.allclose(out_ref, out_t)
+
+
+def test_diverse_beam_matches_reference_oracle(setup):
+    """Diverse-group beam search vs a per-sample Python oracle that
+    mirrors CaptionModel.beam_search exactly (staggered group schedule,
+    add_diversity stacking subtraction, beam_step candidate fork,
+    finalize-on-0 / finalize-all-at-T, per-group sort by augmented p)."""
+    cfg, model, batch, params = setup
+    T = cfg.speaker.seq_length
+    V = VOCAB
+    W_TOTAL, G, LAM = 4, 2, 0.5
+    BDASH = W_TOTAL // G
+
+    enc = model.apply(params, batch, method="encode")
+
+    out = model.apply(
+        params, batch,
+        method=lambda m, bb: m.speaker.sample_beam(
+            enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
+            beam_size=W_TOTAL, group_size=G, diversity_lambda=LAM))
+    got_gseqs = np.asarray(out["group_seqs"])        # [B, G, T]
+    got_gps = np.asarray(out["group_logprobs"])      # [B, G]
+
+    def step_fn(k, it, state):
+        """One decoder step on BDASH beams of sample k (the reference's
+        get_logprobs_state), incl. the index-1 suppression."""
+        fb = jnp.broadcast_to(enc["feat_bef"][k], (BDASH,) +
+                              enc["feat_bef"][k].shape)
+        fa = jnp.broadcast_to(enc["feat_aft"][k], fb.shape)
+        fd = jnp.broadcast_to(enc["feat_diff"][k], fb.shape)
+
+        def m(mdl):
+            fused, feats = mdl.speaker._fused(fb, fd, fa, None)
+            xt = mdl.speaker._embed_word(jnp.asarray(it, jnp.int32), None)
+            h_lang, ns, dpos, _ = mdl.speaker.core(
+                xt, fused, feats,
+                {kk: jnp.asarray(vv) for kk, vv in state.items()},
+                drop_key=None)
+            logp, _ = mdl.speaker._out_logprobs(h_lang, dpos, None)
+            logp = logp - jnp.where(jnp.arange(V)[None] == 1, 1000.0,
+                                    0.0)
+            return logp, ns
+        logp, ns = model.apply(params, method=m)
+        return (np.asarray(logp, np.float64),
+                {kk: np.asarray(vv) for kk, vv in ns.items()})
+
+    def init_state():
+        return {kk: np.zeros((BDASH, cfg.speaker.rnn_size), np.float32)
+                for kk in ("h_mod", "c_mod", "h_lang", "c_lang")}
+
+    def oracle(k):
+        beam_seq = [np.zeros((T, BDASH), int) for _ in range(G)]
+        sums = [np.zeros(BDASH) for _ in range(G)]
+        state, logprobs_t = [], []
+        for g in range(G):
+            lp, st = step_fn(k, np.full(BDASH, cfg.speaker.bos_token),
+                             init_state())
+            logprobs_t.append(lp)
+            state.append(st)
+        done = [[] for _ in range(G)]
+        for t in range(T + G - 1):
+            for g in range(G):
+                if not (g <= t <= T + g - 1):
+                    continue
+                lt = t - g
+                logp = logprobs_t[g].copy()
+                for p in range(G):
+                    if p < g:
+                        for tokn in beam_seq[p][lt]:
+                            logp[:, tokn] -= LAM     # stacking subtraction
+                rows = 1 if lt == 0 else BDASH
+                ix = np.argsort(-logp, axis=1)
+                cands = []
+                for cc in range(min(BDASH, V)):
+                    for q in range(rows):
+                        cands.append((int(ix[q, cc]), q,
+                                      sums[g][q] + logp[q, ix[q, cc]]))
+                cands.sort(key=lambda x: -x[2])
+                new_seq = beam_seq[g].copy()
+                prev_seq = beam_seq[g][:lt].copy()
+                new_state = {kk: vv.copy() for kk, vv in
+                             state[g].items()}
+                new_sums = sums[g].copy()
+                for vix in range(BDASH):
+                    c_tok, q, p_sum = cands[vix]
+                    if lt >= 1:
+                        new_seq[:lt, vix] = prev_seq[:, q]
+                    for kk in new_state:
+                        new_state[kk][vix] = state[g][kk][q]
+                    new_seq[lt, vix] = c_tok
+                    new_sums[vix] = p_sum
+                beam_seq[g], state[g], sums[g] = (new_seq, new_state,
+                                                  new_sums)
+                for vix in range(BDASH):
+                    if beam_seq[g][lt, vix] == 0 or lt == T - 1:
+                        done[g].append((beam_seq[g][:, vix].copy(),
+                                        sums[g][vix]))
+                        sums[g][vix] = -1000.0
+                it = beam_seq[g][lt]
+                lp, st = step_fn(k, it, state[g])
+                logprobs_t[g] = lp
+                state[g] = st
+        return [max(d, key=lambda x: x[1]) for d in done]
+
+    for k in range(2):
+        best = oracle(k)
+        for g in range(G):
+            want_seq, want_p = best[g]
+            np.testing.assert_allclose(got_gps[k, g], want_p, rtol=2e-3,
+                                       atol=2e-3,
+                                       err_msg=f"sample {k} group {g}")
+            np.testing.assert_array_equal(
+                got_gseqs[k, g], want_seq,
+                err_msg=f"sample {k} group {g}")
+    # group 0's best is the returned answer (done_beams[0],
+    # dynamic_speaker_change_pos.py:280)
+    np.testing.assert_array_equal(np.asarray(out["seq"]),
+                                  got_gseqs[:, 0])
