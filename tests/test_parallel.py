@@ -127,3 +127,44 @@ def test_dryrun_multichip_entrypoint():
     ge = importlib.import_module("__graft_entry__")
     ge.dryrun_multichip(8)          # tp+dp mesh 4x2
     ge.dryrun_multichip(2)          # dp-only mesh 2x1
+
+
+@pytest.mark.parametrize("model_ax", [2, 4])
+def test_flagship_config_tp_rules_divide(model_ax):
+    """Every DEFAULT_PARAM_RULES entry must actually shard at the
+    FLAGSHIP geometry (VERDICT r1: the divisibility fallback silently
+    replicates — this fails if a TP rule stops dividing at real sizes).
+    Shapes come from eval_shape (no full-size init compute)."""
+    from ekaid_tpu.parallel.mesh import (DEFAULT_PARAM_RULES,
+                                         param_shardings, _path_str)
+
+    cfg = default_config()          # flagship dims (1024-d, vocab 148)
+    model = EkaidModel(cfg, ntoken=147, policy=F32)
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 8, seed=0))
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           batch, train=True))
+
+    mesh = make_mesh(data=8 // model_ax, model=model_ax)
+    shardings = param_shardings(mesh, shapes)
+
+    import re
+    compiled = [(re.compile(p), spec) for p, spec in DEFAULT_PARAM_RULES]
+    seen = {p: 0 for p, _ in DEFAULT_PARAM_RULES}
+
+    def check(path, leaf_shape, sharding):
+        s = _path_str(path)
+        for (pat, spec), (pstr, _) in zip(compiled, DEFAULT_PARAM_RULES):
+            if pat.match(s):
+                seen[pstr] += 1
+                assert sharding.spec == spec, (
+                    f"{s} {leaf_shape.shape} fell back to "
+                    f"{sharding.spec} on model={model_ax} "
+                    f"(rule {pstr} -> {spec})")
+                return
+
+    jax.tree_util.tree_map_with_path(
+        lambda p, l, sh: check(p, l, sh), shapes, shardings)
+    for pat, n in seen.items():
+        assert n > 0, f"rule {pat} matched no parameter"

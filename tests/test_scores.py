@@ -125,3 +125,56 @@ def test_viz_panels_render(tmp_path):
     draw_pair(img, img, "q?", "a", "gt", att_bef=[0.5, 0.5],
               boxes_bef=boxes, save=str(p))
     assert p.stat().st_size > 1000
+
+
+def test_viz_sheet_and_module_weight_panels(tmp_path):
+    import numpy as np
+    from ekaid_tpu.viz.draw import (draw_answer_distribution,
+                                    draw_example_sheet,
+                                    draw_module_weights)
+    rng = np.random.default_rng(1)
+    img = rng.random((32, 32))
+    boxes = np.array([[2, 2, 12, 12]], np.float32)
+    rows = [{"image_bef": img, "image_aft": img,
+             "question": "what has changed?",
+             "answer": "nothing has changed", "gt_answer": "nothing",
+             "boxes_bef": boxes, "boxes_aft": boxes}
+            for _ in range(2)]
+    p = tmp_path / "sheet.png"
+    draw_example_sheet(rows, save=str(p))
+    assert p.stat().st_size > 1000
+
+    w = rng.dirichlet([1, 1, 1], size=8)
+    p = tmp_path / "mw.png"
+    draw_module_weights(w, tokens=list("abcdefgh"), save=str(p))
+    assert p.stat().st_size > 1000
+
+    p = tmp_path / "dist.png"
+    draw_answer_distribution({"yes": 20, "no": 8, "maybe": 1},
+                             save=str(p))
+    assert p.stat().st_size > 1000
+
+
+def test_ask_question_synthetic(tmp_path):
+    """draw_by_asking_question parity drive: free-form question over a
+    synthetic trainer, multinomial answer histogram + greedy answer."""
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.train.train import build_synthetic_trainer
+    from ekaid_tpu.viz.ask import ask_question
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        change_detector=cfg.change_detector.replace(
+            att_dim=32, att_head=4, dim=8, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=32, rnn_size=16, embed_input_dim=96, embed_dim=32,
+            word_embed_size=8, seq_length=6),
+        data=cfg.data.replace(num_nodes=6, feature_dim=24, adj_pad=10),
+        question=cfg.question.replace(hidden_dim=32),
+    )
+    trainer = build_synthetic_trainer(cfg, str(tmp_path))
+    res = ask_question(trainer, 0, "what has changed ?", n_samples=4,
+                       seed=0)
+    assert sum(res["counts"].values()) == 4
+    assert isinstance(res["greedy"], str)
+    assert isinstance(res["gt_answer"], str)
