@@ -85,9 +85,13 @@ def bench_qa(platform: str):
     batch_size = cfg.data.test.batch_size          # 64, eval parity
     batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, batch_size,
                                                       seed=0))
+    from ekaid_tpu.utils.dtypes import cast_params_for_inference
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch, train=True)
+    # decode-only bf16 weight copy: halves per-step HBM weight reads
+    # (same rounding as the per-use cast -> identical outputs)
+    params = cast_params_for_inference(params, policy)
 
     @jax.jit
     def decode(params, batch):

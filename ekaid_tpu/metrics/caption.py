@@ -71,6 +71,7 @@ def bleu(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
     cand_len = 0
     eff_ref_len = 0
     per_image: Dict[str, List[float]] = {}
+    nat = _native()
 
     for img, cand in res.items():
         refs = gts[img]
@@ -80,19 +81,38 @@ def bleu(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
         eff = min((abs(len(r) - c), len(r)) for r in refs)[1]
         eff_ref_len += eff
 
-        img_correct, img_guess = [], []
-        for n in range(1, max_n + 1):
-            cnt = _ngrams(cand, n)
-            maxref: Counter = Counter()
-            for r in refs:
-                for ng, k in _ngrams(r, n).items():
-                    maxref[ng] = max(maxref[ng], k)
-            corr = sum(min(k, maxref[ng]) for ng, k in cnt.items())
-            gs = max(0, c - n + 1)
-            correct[n - 1] += corr
-            guess[n - 1] += gs
-            img_correct.append(corr)
-            img_guess.append(gs)
+        if nat is not None:
+            # C++ clipped-count kernel (native/caption.cpp) over
+            # segment-local token ids
+            import numpy as np
+            ids: Dict[str, int] = {}
+
+            def to_ids(toks):
+                return np.fromiter(
+                    (ids.setdefault(w, len(ids)) for w in toks),
+                    np.int32, len(toks))
+
+            m, t = nat.bleu_counts(to_ids(cand),
+                                   [to_ids(r) for r in refs], max_n)
+            img_correct = [int(x) for x in m]
+            img_guess = [int(x) for x in t]
+            for n in range(max_n):
+                correct[n] += img_correct[n]
+                guess[n] += img_guess[n]
+        else:
+            img_correct, img_guess = [], []
+            for n in range(1, max_n + 1):
+                cnt = _ngrams(cand, n)
+                maxref: Counter = Counter()
+                for r in refs:
+                    for ng, k in _ngrams(r, n).items():
+                        maxref[ng] = max(maxref[ng], k)
+                corr = sum(min(k, maxref[ng]) for ng, k in cnt.items())
+                gs = max(0, c - n + 1)
+                correct[n - 1] += corr
+                guess[n - 1] += gs
+                img_correct.append(corr)
+                img_guess.append(gs)
         # per-image score (with its own BP)
         scores = []
         bp_i = 1.0 if c > eff else math.exp(1 - eff / max(c, 1))
@@ -116,9 +136,28 @@ def bleu(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
 
 # --------------------------------------------------------------- ROUGE-L ---
 
+def _native():
+    """The C++ caption kernels (native/caption.cpp), None when the
+    toolchain is absent — every caller keeps a pure-Python path."""
+    try:
+        from ekaid_tpu.native import bindings
+        return bindings if bindings.available() else None
+    except Exception:
+        return None
+
+
 def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
     if not a or not b:
         return 0
+    nat = _native()
+    if nat is not None:
+        import numpy as np
+        ids: Dict[str, int] = {}
+        ai = np.fromiter((ids.setdefault(w, len(ids)) for w in a),
+                         np.int32, len(a))
+        bi = np.fromiter((ids.setdefault(w, len(ids)) for w in b),
+                         np.int32, len(b))
+        return nat.lcs_len(ai, bi)
     prev = [0] * (len(b) + 1)
     for x in a:
         cur = [0]
@@ -268,6 +307,33 @@ def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
     this corpus's short answers but can differ in chunk count on
     adversarial orderings.
     """
+    nat = _native()
+    if nat is not None and all(
+            len(syn_idx.get(w, ())) <= 1 for w in hyp + ref):
+        # C++ kernel (native/caption.cpp); valid when every word maps to
+        # at most one synset (true for the bundled table)
+        import numpy as np
+        ids: Dict[str, int] = {}
+
+        def to_ids(toks):
+            return np.fromiter(
+                (ids.setdefault(w, len(ids)) for w in toks), np.int32,
+                len(toks))
+
+        def to_syn(toks):
+            return np.fromiter(
+                (next(iter(syn_idx[w])) if w in syn_idx else -1
+                 for w in toks), np.int32, len(toks))
+
+        out = nat.meteor_align(
+            to_ids(hyp), to_ids([_STEM(w) for w in hyp]), to_syn(hyp),
+            to_ids(ref), to_ids([_STEM(w) for w in ref]), to_syn(ref))
+        if out is not None:
+            align_arr, stage_arr, chunks = out
+            pairs = [(i, int(align_arr[i]), int(stage_arr[i]))
+                     for i in range(len(hyp)) if align_arr[i] >= 0]
+            return pairs, chunks
+
     ref_used = [False] * len(ref)
     align = [(-1, -1)] * len(hyp)     # (ref_j, stage)
 

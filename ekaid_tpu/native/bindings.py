@@ -48,10 +48,18 @@ def _lib() -> Optional[ctypes.CDLL]:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.spatial_adjacency_batch.argtypes = [
         f32p, i64, i64, i64, ctypes.c_float, ctypes.c_float, i32p]
     lib.match_disease.argtypes = [f32p, u8p, i64, f32p, i64, i32p]
     lib.exact_match.argtypes = [i32p, i32p, i64, i64, u8p]
+    lib.lcs_len.argtypes = [i32p, i64, i32p, i64]
+    lib.lcs_len.restype = i64
+    lib.bleu_counts.argtypes = [i32p, i64, i32p, i64p, i64, i64, i64p,
+                                i64p]
+    lib.meteor_align.argtypes = [i32p, i32p, i32p, i64,
+                                 i32p, i32p, i32p, i64, i32p, i32p]
+    lib.meteor_align.restype = i64
     _LIB = lib
     return lib
 
@@ -120,3 +128,69 @@ def exact_match(seq: np.ndarray, gt: np.ndarray) -> np.ndarray:
     out = np.zeros(len(seq), np.uint8)
     lib.exact_match(seq, gt, seq.shape[0], seq.shape[1], out)
     return out
+
+
+# ----------------------------------------------------- caption metrics ---
+
+def lcs_len(a: np.ndarray, b: np.ndarray) -> int:
+    """LCS length over int32 token-id sequences (ROUGE-L inner DP)."""
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    lib = _lib()
+    if lib is None:
+        # O(na*nb) numpy-free fallback, identical semantics
+        na, nb = len(a), len(b)
+        if na == 0 or nb == 0:
+            return 0
+        prev = [0] * (nb + 1)
+        for i in range(1, na + 1):
+            cur = [0] * (nb + 1)
+            ai = a[i - 1]
+            for j in range(1, nb + 1):
+                cur[j] = (prev[j - 1] + 1 if ai == b[j - 1]
+                          else max(prev[j], cur[j - 1]))
+            prev = cur
+        return prev[nb]
+    return int(lib.lcs_len(a, len(a), b, len(b)))
+
+
+def bleu_counts(cand: np.ndarray, refs, max_n: int = 4):
+    """Clipped n-gram (matches, totals) per order for one segment.
+    cand int32 ids; refs = list of int32 id arrays. Requires the
+    native lib (callers fall back to the pure-Python bleu)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    cand = np.ascontiguousarray(cand, np.int32)
+    refs = [np.ascontiguousarray(r, np.int32) for r in refs]
+    flat = (np.concatenate(refs) if refs
+            else np.zeros(0, np.int32))
+    lens = np.asarray([len(r) for r in refs], np.int64)
+    matches = np.zeros(max_n, np.int64)
+    totals = np.zeros(max_n, np.int64)
+    lib.bleu_counts(cand, len(cand), flat, lens, len(refs), max_n,
+                    matches, totals)
+    return matches, totals
+
+
+def meteor_align(hyp_ids, hyp_stem, hyp_syn, ref_ids, ref_stem,
+                 ref_syn):
+    """Staged greedy METEOR alignment. syn ids: -1 = no synset; valid
+    only when each word belongs to at most one synset (the bundled
+    table — callers must fall back to Python otherwise). Returns
+    (align [nh] int32 ref-index-or--1, stage [nh] int32 0/1/2-or--1,
+    chunks int) or None when the native lib is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(hyp_ids, np.int32)
+    hs = np.ascontiguousarray(hyp_stem, np.int32)
+    hy = np.ascontiguousarray(hyp_syn, np.int32)
+    r = np.ascontiguousarray(ref_ids, np.int32)
+    rs = np.ascontiguousarray(ref_stem, np.int32)
+    ry = np.ascontiguousarray(ref_syn, np.int32)
+    align = np.zeros(len(h), np.int32)
+    stage = np.zeros(len(h), np.int32)
+    chunks = lib.meteor_align(h, hs, hy, len(h), r, rs, ry, len(r),
+                              align, stage)
+    return align, stage, int(chunks)

@@ -47,6 +47,14 @@ class InferenceEngine:
         self.image_dir = image_dir
 
         model = trainer.model
+        # serving is inference-only: bf16 weight copy (see
+        # utils/dtypes.cast_params_for_inference)
+        from ekaid_tpu.utils.dtypes import (Policy,
+                                            cast_params_for_inference)
+        trainer.state = trainer.state.replace(
+            params=cast_params_for_inference(
+                trainer.state.params,
+                Policy.from_config(trainer.cfg.dtypes)))
 
         @jax.jit
         def decode1(params, batch):

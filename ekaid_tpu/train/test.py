@@ -26,6 +26,12 @@ def run_test(trainer: Trainer, checkpoint_dir: str = None,
         trainer.state = mgr.restore(abstract_like(trainer.state),
                                     name=checkpoint_name)
         print(f"Loaded checkpoint step {int(trainer.state.step)}")
+    # inference-only: bf16 weight copy halves decode HBM weight traffic
+    # (identical rounding to the per-use cast -> same outputs)
+    from ekaid_tpu.utils.dtypes import Policy, cast_params_for_inference
+    trainer.state = trainer.state.replace(
+        params=cast_params_for_inference(
+            trainer.state.params, Policy.from_config(trainer.cfg.dtypes)))
     t0 = time.time()
     scores, predictions = trainer.evaluate(max_batches=max_batches,
                                            beam_size=beam_size)

@@ -253,10 +253,15 @@ class DetectorTrainer:
             n += 1
         return {f"val_{k}": v / max(n, 1) for k, v in sums.items()}
 
-    def evaluate(self, arrays) -> Dict[str, float]:
-        """AP@0.5 over a dataset (VinbigdataEvaluator surface)."""
+    def evaluate(self, arrays, proposals: bool = False
+                 ) -> Dict[str, float]:
+        """AP@0.5 over a dataset (VinbigdataEvaluator surface);
+        `proposals=True` adds class-agnostic AR@100 over the detections
+        (the inherited proposal-mode evaluation, evaluator.py:462)."""
+        from ekaid_tpu.metrics.detection import proposal_recall
         det = self.cfg.detector
         ev = DetectionEvaluator(self.num_classes)
+        prop_acc = {"p": [], "s": [], "v": [], "gb": [], "gv": []}
         for im, bx, cl, vl in batches(arrays, det.batch_size,
                                       shuffle=False, seed=0):
             out = self._detect(self.params, jnp.asarray(im))
@@ -264,7 +269,18 @@ class DetectorTrainer:
                 ev.add_image(out["boxes"][b], out["classes"][b],
                              out["scores"][b], out["valid"][b],
                              bx[b], cl[b], vl[b])
-        return ev.summarize()
+                if proposals:
+                    prop_acc["p"].append(np.asarray(out["boxes"][b]))
+                    prop_acc["s"].append(np.asarray(out["scores"][b]))
+                    prop_acc["v"].append(np.asarray(out["valid"][b]))
+                    prop_acc["gb"].append(bx[b])
+                    prop_acc["gv"].append(vl[b])
+        scores = ev.summarize()
+        if proposals and prop_acc["p"]:
+            scores.update(proposal_recall(
+                prop_acc["p"], prop_acc["s"], prop_acc["v"],
+                prop_acc["gb"], prop_acc["gv"], limits=(100,)))
+        return scores
 
 
 def main(argv=None):

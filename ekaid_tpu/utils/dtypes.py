@@ -47,5 +47,33 @@ class Policy:
         return jnp.asarray(x, self.softmax_dtype)
 
 
+def cast_params_for_inference(params, policy: "Policy"):
+    """Pre-cast float32 params to the compute dtype for inference.
+
+    flax modules with dtype=bf16 re-cast f32 weights at every use — in
+    the 90-step scanned decoder that reads every weight matrix from HBM
+    as f32 each step (2× the bytes of bf16). One up-front cast halves
+    decode weight traffic. Plain kernels/biases round identically to
+    the per-use cast (bit-equal outputs, tested); weight-norm params
+    are SKIPPED because WNDense computes ‖v‖ on the raw param before
+    casting — pre-rounding v would change the norm. Train state must
+    keep f32 masters — use this only on a decode/serving copy.
+    """
+    import jax
+
+    if policy.compute_dtype == jnp.float32:
+        return params
+
+    def cast(path, x):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if any("WNDense" in k for k in keys):
+            return x
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return jnp.asarray(x, policy.compute_dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 F32 = Policy(compute_dtype=jnp.float32)
 BF16 = Policy()

@@ -424,3 +424,21 @@ def test_diverse_beam_matches_reference_oracle(setup):
     # dynamic_speaker_change_pos.py:280)
     np.testing.assert_array_equal(np.asarray(out["seq"]),
                                   got_gseqs[:, 0])
+
+
+def test_inference_param_cast_preserves_decode():
+    """bf16 pre-cast params decode identically to f32 params under the
+    BF16 policy (the per-use cast applies the same rounding)."""
+    from ekaid_tpu.utils.dtypes import BF16, cast_params_for_inference
+
+    cfg = tiny_config()
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=BF16)
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 2, seed=3))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    cast = cast_params_for_inference(params, BF16)
+    out_a = model.apply(params, batch, method="decode", sample_max=True)
+    out_b = model.apply(cast, batch, method="decode", sample_max=True)
+    np.testing.assert_array_equal(np.asarray(out_a["seq"]),
+                                  np.asarray(out_b["seq"]))

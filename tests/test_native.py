@@ -73,3 +73,42 @@ def test_native_adjacency_faster_than_python(rng):
     t_py = time.perf_counter() - t0
     print(f"native {t_native * 1e3:.2f} ms vs numpy {t_py * 1e3:.2f} ms")
     assert t_native < t_py
+
+
+def test_native_caption_kernels_match_python(rng):
+    """C++ lcs/bleu_counts/meteor_align vs the pure-Python paths
+    (native/caption.cpp) — bit-equal on random answer-style corpora."""
+    if not nat.available():
+        pytest.skip("no C++ toolchain")
+    import ekaid_tpu.metrics.caption as cap
+
+    vocab = ["yes", "no", "lung", "effusion", "the", "left", "is",
+             "worse", "nodule", "illness", "disease", "has", "changed"]
+
+    def sent(n):
+        return [vocab[i] for i in rng.integers(0, len(vocab), n)]
+
+    gts = {str(k): [sent(rng.integers(1, 14)) for _ in
+                    range(rng.integers(1, 3))] for k in range(30)}
+    res = {str(k): sent(rng.integers(1, 14)) for k in range(30)}
+
+    native_scores = {
+        "bleu": cap.bleu(gts, res)[0],
+        "rouge": cap.rouge_l(gts, res)[0],
+        "meteor": cap.meteor15(gts, res)[0],
+    }
+    # force the pure-Python paths
+    orig = cap._native
+    cap._native = lambda: None
+    try:
+        python_scores = {
+            "bleu": cap.bleu(gts, res)[0],
+            "rouge": cap.rouge_l(gts, res)[0],
+            "meteor": cap.meteor15(gts, res)[0],
+        }
+    finally:
+        cap._native = orig
+    np.testing.assert_allclose(native_scores["bleu"],
+                               python_scores["bleu"], rtol=1e-12)
+    assert native_scores["rouge"] == python_scores["rouge"]
+    assert native_scores["meteor"] == python_scores["meteor"]
