@@ -85,6 +85,11 @@ class SpeakerConfig:
     group_size: int = 1
     diversity_lambda: float = 0.5
     temperature: float = 1.0
+    # lax.scan unroll factor for the decode loops (TPU knob: >1 lets
+    # XLA overlap weight fetches across steps at the cost of program
+    # size / compile time on the remote-compile service; outputs are
+    # identical for any value)
+    scan_unroll: int = 1
     # BOS token fed at step 0 of free-running decode. The reference primes
     # with index 2 (dynamic_speaker_change_pos.py:272,311) even though the
     # shipped vocab maps '<start>'->1; kept for parity.

@@ -208,7 +208,8 @@ class DynamicSpeaker(nn.Module):
         else:
             _, (logps, logps_pos, mws) = jax.lax.scan(
                 step, (state0, prev_logp0), (tokens, step_keys, ss_keys,
-                                             idx))
+                                             idx),
+                unroll=c.scan_unroll)
             logps = jnp.swapaxes(logps, 0, 1)            # [B, T, vocab]
             logps_pos = jnp.swapaxes(logps_pos, 0, 1)
             mws = jnp.swapaxes(mws, 0, 1)                # [B, T, 3]
@@ -300,7 +301,7 @@ class DynamicSpeaker(nn.Module):
         else:
             _, (seq, lps) = jax.lax.scan(
                 step, (state0, bos, jnp.ones((B,), bool)),
-                (jnp.arange(T), keys))
+                (jnp.arange(T), keys), unroll=c.scan_unroll)
             seq = jnp.swapaxes(seq, 0, 1)
             lps = jnp.swapaxes(lps, 0, 1)
         return {"seq": seq, "logprobs": lps}
@@ -454,7 +455,8 @@ class DynamicSpeaker(nn.Module):
                 return tuple(gstates), None
 
             carry = tuple(init_gstate() for _ in range(G))
-            carry, _ = jax.lax.scan(body, carry, jnp.arange(T + G - 1))
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(T + G - 1),
+                                    unroll=c.scan_unroll)
             gstates = list(carry)
 
         # per group: unfinished best beam as fallback (the

@@ -79,12 +79,14 @@ class EkaidModel(nn.Module):
 
     def decode(self, batch, sample_max: bool = True,
                temperature: Optional[float] = None,
-               rng: Optional[jax.Array] = None):
+               rng: Optional[jax.Array] = None,
+               early_exit: bool = True):
         """Eval/inference path (test_mimic.py:116-119 parity)."""
         enc = self.encode(batch, train=False)
         dec = self.speaker.sample(
             enc["feat_bef"], enc["feat_aft"], enc["feat_diff"],
-            sample_max=sample_max, temperature=temperature, rng=rng)
+            sample_max=sample_max, temperature=temperature, rng=rng,
+            early_exit=early_exit)
         return {**enc, **dec}
 
     def decode_beam(self, batch, beam_size: int = 3,

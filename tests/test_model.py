@@ -442,3 +442,22 @@ def test_inference_param_cast_preserves_decode():
     out_b = model.apply(cast, batch, method="decode", sample_max=True)
     np.testing.assert_array_equal(np.asarray(out_a["seq"]),
                                   np.asarray(out_b["seq"]))
+
+
+def test_scan_unroll_invariant():
+    """speaker.scan_unroll is a pure scheduling knob — decode outputs
+    must be identical for any unroll factor."""
+    cfg1 = tiny_config()
+    cfg2 = cfg1.replace(speaker=cfg1.speaker.replace(scan_unroll=3))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg1, 2, seed=5))
+    m1 = EkaidModel(cfg1, ntoken=NTOKEN, policy=F32)
+    m2 = EkaidModel(cfg2, ntoken=NTOKEN, policy=F32)
+    params = m1.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    a = m1.apply(params, batch, method="decode", sample_max=True,
+                 early_exit=False)
+    b = m2.apply(params, batch, method="decode", sample_max=True,
+                 early_exit=False)
+    np.testing.assert_array_equal(np.asarray(a["seq"]),
+                                  np.asarray(b["seq"]))

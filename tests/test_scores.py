@@ -178,3 +178,30 @@ def test_ask_question_synthetic(tmp_path):
     assert sum(res["counts"].values()) == 4
     assert isinstance(res["greedy"], str)
     assert isinstance(res["gt_answer"], str)
+
+
+def test_find_examples_filters(tmp_path):
+    import json
+
+    from ekaid_tpu.viz.examples import find_examples
+
+    gt = {"annotations": [
+        {"id": "0", "image_id": "0", "caption": "nothing has changed",
+         "question": "what has changed ?",
+         "question_type": "difference"},
+        {"id": "1", "image_id": "1", "caption": "yes",
+         "question": "is there pneumonia ?",
+         "question_type": "presence"},
+        {"id": "2", "image_id": "2", "caption": "left lung",
+         "question": "where is the effusion ?",
+         "question_type": "location"},
+    ], "images": [{"id": str(i)} for i in range(3)]}
+    p = tmp_path / "gt.json"
+    p.write_text(json.dumps(gt))
+
+    rows = find_examples(str(p), question_type="presence")
+    assert [r["id"] for r in rows] == ["1"]
+    rows = find_examples(str(p), keyword="effusion")
+    assert [r["id"] for r in rows] == ["2"]
+    rows = find_examples(str(p), n=2)
+    assert len(rows) == 2
