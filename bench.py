@@ -113,6 +113,33 @@ def bench_qa(platform: str):
     if tflops > 0 and platform == "tpu":
         out["mfu_pct"] = round(100.0 * tflops * 1e12 * iters / dt
                                / V5E_BF16_PEAK, 2)
+
+    if platform == "tpu":
+        # A/B the decode-step variants (same params, proven-equal
+        # outputs — tests/test_model.py); results steer which knobs the
+        # next round turns on by default
+        for name, sp in [
+                ("fused", cfg.speaker.replace(fused_core=True)),
+                ("fused_unroll2", cfg.speaker.replace(fused_core=True,
+                                                      scan_unroll=2))]:
+            mv = EkaidModel(cfg.replace(speaker=sp), ntoken=147,
+                            policy=policy)
+
+            @jax.jit
+            def dec_v(params, batch, mv=mv):
+                return mv.apply(params, batch, method="decode",
+                                sample_max=True)["seq"]
+
+            try:
+                jax.block_until_ready(dec_v(params, batch))
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    seq = dec_v(params, batch)
+                jax.block_until_ready(seq)
+                out[f"pairs_per_sec_{name}"] = round(
+                    batch_size * iters / (time.perf_counter() - t0), 2)
+            except Exception as e:
+                out[f"pairs_per_sec_{name}"] = f"{type(e).__name__}"
     return out
 
 
@@ -159,8 +186,9 @@ def main():
         "platform": platform,
         "decode_tflops": qa["decode_tflops"],
     }
-    if "mfu_pct" in qa:
-        record["mfu_pct"] = qa["mfu_pct"]
+    for k, v in qa.items():
+        if k.startswith("pairs_per_sec_") or k == "mfu_pct":
+            record[k] = v
     if platform == "tpu":
         try:
             ext = bench_extract(platform)

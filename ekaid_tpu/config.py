@@ -90,6 +90,12 @@ class SpeakerConfig:
     # size / compile time on the remote-compile service; outputs are
     # identical for any value)
     scan_unroll: int = 1
+    # fuse the independent per-step matmuls (module-LSTM gates, pos1,
+    # lang-LSTM h/x partials) into one wide matmul during free-running
+    # decode — fewer, larger MXU dispatches per step at the cost of
+    # multiplying by zero blocks. Same params, same math up to f32
+    # summation order. Eval-only; ignored under init/teacher forcing.
+    fused_core: bool = False
     # BOS token fed at step 0 of free-running decode. The reference primes
     # with index 2 (dynamic_speaker_change_pos.py:272,311) even though the
     # shipped vocab maps '<start>'->1; kept for parity.

@@ -231,10 +231,17 @@ class Loader:
     def __init__(self, dataset: DiffVQADataset, batch_size: Optional[int]
                  = None, shuffle: bool = False, seed: int = 0,
                  drop_remainder: bool = True, pad_final: bool = False,
-                 num_threads: int = 4, prefetch: int = 2):
+                 num_threads: int = 4, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
         """pad_final=True keeps the remainder batch, padded to batch_size
         by repeating its last row — batch shape stays jit-stable and
-        duplicate pair_index rows collapse in the predictions dict."""
+        duplicate pair_index rows collapse in the predictions dict.
+
+        shard_index/num_shards: multi-host data sharding — each host
+        iterates a disjoint 1-in-num_shards slice of every epoch's
+        (identically shuffled) order, so a jax.distributed pod feeds its
+        per-host batch without coordination. Defaults are single-host.
+        """
         self.ds = dataset
         self.batch_size = batch_size or dataset.batch_size
         self.shuffle = shuffle
@@ -244,18 +251,29 @@ class Loader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.epoch = 0
+        assert 0 <= shard_index < num_shards
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def _shard_len(self):
+        n, k, i = len(self.ds), self.num_shards, self.shard_index
+        return n // k + (1 if n % k > i else 0)
 
     def __len__(self):
-        n = len(self.ds) // self.batch_size
-        if not self.drop_remainder and len(self.ds) % self.batch_size:
+        n = self._shard_len() // self.batch_size
+        if not self.drop_remainder and self._shard_len() % self.batch_size:
             n += 1
         return n
 
     def _epoch_order(self):
         order = np.asarray(self.ds.split_idxs)
         if self.shuffle:
+            # same seed on every host -> identical permutation, disjoint
+            # strided slices
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(order)
+        if self.num_shards > 1:
+            order = order[self.shard_index::self.num_shards]
         return order
 
     def _batch_indices(self):

@@ -100,6 +100,92 @@ class DynamicCore(nn.Module):
         return h_lang, new_state, dpos, module_weights
 
 
+def _lstm_gates(z, c_prev, cast):
+    """(i, f, g, o) gate math shared with layers.LSTMCell."""
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c = nn.sigmoid(f) * cast(c_prev) + nn.sigmoid(i) * jnp.tanh(g)
+    h = nn.sigmoid(o) * jnp.tanh(c)
+    return h, c
+
+
+def make_fused_core_step(core_params, cfg, policy: Policy):
+    """Merged-matmul eval step over DynamicCore's existing params.
+
+    Builds one [E+2R+W, 4R+R+4R] weight K1 from (module_att_lstm.w_ih/
+    w_hh, pos1.kernel, lang_lstm.w_ih[:W]/w_hh) with zero blocks where an
+    input doesn't feed an output, so the 5 independent step-start
+    matmuls become one wide MXU dispatch; a second block-diagonal merge
+    covers weight_fc+weight_pos. Zero-block FLOPs are wasted but the
+    decode is dispatch/latency-bound, not FLOP-bound (speaker.fused_core
+    knob; A/B'd in bench.py). Same parameters, same math up to f32
+    summation order.
+    """
+    p = jax.tree.map(policy.cast_compute, core_params)
+    mod, lang = p["module_att_lstm"], p["lang_lstm"]
+    E = mod["w_ih"].shape[0] - lang["w_hh"].shape[0]  # embed_dim
+    R = lang["w_hh"].shape[0]                         # rnn_size
+    W = lang["w_ih"].shape[0] - cfg.input_dim         # word_embed_size
+    FourR = 4 * R
+    z = jnp.zeros
+    dt = policy.compute_dtype
+    # rows: [fused(E), h_lang(R), h_mod(R), xt(W)]
+    k1 = jnp.concatenate([
+        jnp.concatenate([mod["w_ih"][:E], z((E, R), dt),
+                         z((E, FourR), dt)], 1),
+        jnp.concatenate([mod["w_ih"][E:], p["pos1"]["kernel"],
+                         lang["w_hh"]], 1),
+        jnp.concatenate([mod["w_hh"], z((R, R), dt),
+                         z((R, FourR), dt)], 1),
+        jnp.concatenate([z((W, FourR), dt), z((W, R), dt),
+                         lang["w_ih"][:W]], 1),
+    ], 0)
+    b1 = jnp.concatenate([mod["b"], p["pos1"]["bias"], lang["b"]])
+    k2 = jnp.concatenate([
+        jnp.concatenate([p["weight_fc"]["kernel"],
+                         z((R, cfg.pos_classes), dt)], 1),
+        jnp.concatenate([z((R, 3), dt), p["weight_pos"]["kernel"]], 1),
+    ], 0)
+    b2 = jnp.concatenate([p["weight_fc"]["bias"],
+                          p["weight_pos"]["bias"]])
+    cast = policy.cast_compute
+
+    def step(xt, fused, feats, state):
+        a = jnp.concatenate([fused, state["h_lang"], state["h_mod"],
+                             cast(xt)], -1)
+        z1 = jnp.dot(a, k1, preferred_element_type=dt) + b1
+        h_mod, c_mod = _lstm_gates(z1[:, :FourR], state["c_mod"], cast)
+        vpos = nn.relu(z1[:, FourR:FourR + R])
+        z_lang_part = z1[:, FourR + R:]
+
+        z2 = jnp.dot(jnp.concatenate([h_mod, vpos], -1), k2,
+                     preferred_element_type=dt) + b2
+        module_weights = jax.nn.softmax(
+            policy.cast_softmax(z2[:, :3]), axis=-1)
+        dpos = z2[:, 3:]
+        ppos = (jnp.dot(cast(jax.nn.softmax(policy.cast_softmax(dpos),
+                                            axis=-1)),
+                        p["pos2"]["kernel"], preferred_element_type=dt)
+                + p["pos2"]["bias"])
+        att_feat = jnp.einsum("bk,bkd->bd", cast(module_weights),
+                              feats, preferred_element_type=dt)
+        gate_in = jnp.concatenate([state["h_lang"], ppos, att_feat], -1)
+        gate_h = nn.relu(jnp.dot(gate_in, p["gate1x"]["kernel"],
+                                 preferred_element_type=dt)
+                         + p["gate1x"]["bias"])
+        gate = nn.sigmoid(jnp.dot(gate_h, p["gate2x"]["kernel"],
+                                  preferred_element_type=dt)
+                          + p["gate2x"]["bias"])
+        z_lang = z_lang_part + jnp.dot(gate * att_feat,
+                                       lang["w_ih"][W:],
+                                       preferred_element_type=dt)
+        h_lang, c_lang = _lstm_gates(z_lang, state["c_lang"], cast)
+        new_state = {"h_mod": h_mod, "c_mod": c_mod,
+                     "h_lang": h_lang, "c_lang": c_lang}
+        return h_lang, new_state, dpos, module_weights
+
+    return step
+
+
 class DynamicSpeaker(nn.Module):
     """Scan-based speaker (DynamicSpeaker parity)."""
 
@@ -245,13 +331,21 @@ class DynamicSpeaker(nn.Module):
         state0 = self._init_state(B)
         bos = jnp.full((B,), c.bos_token, jnp.int32)
         vocab_iota = jnp.arange(c.vocab_size)
+        fused_step = None
+        if c.fused_core and not self.is_mutable_collection("params"):
+            fused_step = make_fused_core_step(
+                self.core.variables["params"], c, self.policy)
 
         def step(carry, inp):
             state, it, unfinished = carry
             t, key = inp
             xt = self._embed_word(it, None)
-            h_lang, state, dpos, _ = self.core(xt, fused, feats, state,
-                                               drop_key=None)
+            if fused_step is not None:
+                h_lang, state, dpos, _ = fused_step(xt, fused, feats,
+                                                    state)
+            else:
+                h_lang, state, dpos, _ = self.core(xt, fused, feats,
+                                                   state, drop_key=None)
             logp, _ = self._out_logprobs(h_lang, dpos, None)
             # first-step NULL suppression (:319-322)
             logp = jnp.where((t == 0) & (vocab_iota == 0)[None],

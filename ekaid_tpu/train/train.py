@@ -133,9 +133,14 @@ class Trainer:
         t = int(self.state.step)
         epoch = t // self.steps_per_epoch
         last_metrics: Dict = {}
+        import jax as _jax
         loader = Loader(self.train_ds, shuffle=True, seed=cfg.train.seed,
                         num_threads=cfg.data.num_workers,
-                        prefetch=cfg.data.prefetch)
+                        prefetch=cfg.data.prefetch,
+                        # multi-host pods: each process feeds a disjoint
+                        # slice of the (identically shuffled) epoch
+                        shard_index=_jax.process_index(),
+                        num_shards=_jax.process_count())
 
         def device_batches():
             """One-ahead device prefetch: device_put is async, so the

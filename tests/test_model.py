@@ -461,3 +461,25 @@ def test_scan_unroll_invariant():
                  early_exit=False)
     np.testing.assert_array_equal(np.asarray(a["seq"]),
                                   np.asarray(b["seq"]))
+
+
+def test_fused_core_decode_equivalence():
+    """speaker.fused_core merges the independent per-step matmuls into
+    one wide dispatch — same params, same answers (f32)."""
+    cfg1 = tiny_config()
+    cfg2 = cfg1.replace(speaker=cfg1.speaker.replace(fused_core=True))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg1, 2, seed=6))
+    m1 = EkaidModel(cfg1, ntoken=NTOKEN, policy=F32)
+    m2 = EkaidModel(cfg2, ntoken=NTOKEN, policy=F32)
+    params = m1.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    a = m1.apply(params, batch, method="decode", sample_max=True,
+                 early_exit=False)
+    b = m2.apply(params, batch, method="decode", sample_max=True,
+                 early_exit=False)
+    np.testing.assert_array_equal(np.asarray(a["seq"]),
+                                  np.asarray(b["seq"]))
+    np.testing.assert_allclose(np.asarray(a["logprobs"]),
+                               np.asarray(b["logprobs"]),
+                               atol=1e-4, rtol=1e-4)

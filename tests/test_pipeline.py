@@ -282,3 +282,22 @@ def test_mode0_dataset_and_training():
     out = model.apply(params, jbatch, train=False)
     loss, _ = total_loss(out, jbatch, cfg.train.att_reg_weight)
     assert np.isfinite(float(loss))
+
+
+def test_loader_multihost_sharding():
+    """shard_index/num_shards: disjoint cover of each epoch across
+    hosts, identical shuffles (multi-host pod data feeding)."""
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=40)   # train split = 32
+    shards = [Loader(ds, batch_size=4, shuffle=True, seed=9,
+                     shard_index=i, num_shards=4) for i in range(4)]
+    seen = []
+    for ld in shards:
+        assert len(ld) == 2                            # 32/4 = 8 -> 2
+        seen.append(np.concatenate([b["pair_index"] for b in ld]))
+    allseen = np.concatenate(seen)
+    assert len(allseen) == 32
+    np.testing.assert_array_equal(np.sort(allseen),
+                                  np.sort(ds.split_idxs))
+    # disjoint
+    assert len(np.unique(allseen)) == 32
