@@ -153,11 +153,17 @@ def batches(arrays, batch_size: int, shuffle: bool, seed: int,
 class DetectorTrainer:
     def __init__(self, cfg: Config, num_classes: int,
                  total_steps: int = 1000, lr: float = 1e-3,
-                 warmup: int = 100, augment_data: bool = True):
+                 warmup: int = 100, augment_data: bool = True,
+                 norm: str = "gn", stride_in_1x1: bool = False):
+        """norm/stride_in_1x1: pass ('frozen_bn', True) to fine-tune
+        from converted Detectron2 weights (torch_convert) — the
+        reference always initializes from prior weights
+        (cfg.MODEL.WEIGHTS, train_anatomy.py:563-568)."""
         self.cfg = cfg
         det = cfg.detector
         policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
         self.model = FasterRCNN(det, num_classes=num_classes,
+                                norm=norm, stride_in_1x1=stride_in_1x1,
                                 policy=policy)
         self.num_classes = num_classes
         self.augment_data = augment_data
@@ -296,6 +302,14 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--init_ckpt", default=None,
+                   help="orbax params dir to fine-tune from (a prior "
+                        "--ckpt_out or a converted reference detector; "
+                        "cfg.MODEL.WEIGHTS parity)")
+    p.add_argument("--norm", default="gn", choices=["gn", "frozen_bn"])
+    p.add_argument("--stride_in_1x1", action="store_true",
+                   help="caffe stride placement (converted Detectron2 "
+                        "checkpoints)")
     p.add_argument("--ckpt_out", default=None)
     p.add_argument("--gold_csv", default=None,
                    help="Chest ImaGenome gold bbox CSV (anatomy)")
@@ -321,7 +335,17 @@ def main(argv=None):
          else det.num_disease_classes)
 
     trainer = DetectorTrainer(cfg, k, total_steps=a.steps, lr=a.lr,
-                              augment_data=not a.no_augment)
+                              augment_data=not a.no_augment,
+                              norm=a.norm, stride_in_1x1=a.stride_in_1x1)
+    if a.init_ckpt:
+        import orbax.checkpoint as ocp
+        import os as _os
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(_os.path.abspath(a.init_ckpt),
+                                 trainer.params)
+        trainer.params = restored
+        trainer.opt_state = trainer.tx.init(trainer.params)
+        print(f"initialized from {a.init_ckpt}")
     if a.synthetic:
         arrays = synthetic_blob_dataset(a.synthetic, det.image_size, k)
     elif a.gold_csv or a.vindr_csv or a.scene_graph_dir:

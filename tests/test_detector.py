@@ -1,5 +1,6 @@
 """Faster R-CNN detector tests (small image sizes, CPU)."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,3 +130,28 @@ def test_detector_trainer_cpu_smoke():
     assert np.isfinite(vl["val_total"])
     scores = tr.evaluate(arrays)
     assert "AP50" in scores and "AR" in scores
+
+
+def test_detector_trainer_finetune_roundtrip(tmp_path):
+    """--init_ckpt semantics: params saved by one trainer initialize
+    another (cfg.MODEL.WEIGHTS fine-tune parity), incl. the frozen_bn
+    variant used for converted reference checkpoints."""
+    import orbax.checkpoint as ocp
+
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.train.train_detector import DetectorTrainer
+    cfg = default_config()
+    cfg = cfg.replace(detector=cfg.detector.replace(
+        image_size=64, batch_size=2, fpn_channels=16, roi_feat_dim=32,
+        pre_nms_topk=50, post_nms_topk=30))
+    tr = DetectorTrainer(cfg, num_classes=3, total_steps=2,
+                         norm="frozen_bn", stride_in_1x1=True)
+    out = tmp_path / "det_ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(out), tr.params, force=True)
+    ckptr.wait_until_finished()
+
+    tr2 = DetectorTrainer(cfg, num_classes=3, total_steps=2,
+                          norm="frozen_bn", stride_in_1x1=True)
+    restored = ckptr.restore(str(out), tr2.params)
+    chex.assert_trees_all_equal(restored, tr.params)
