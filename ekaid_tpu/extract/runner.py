@@ -39,6 +39,11 @@ def build_detector_fns(cfg: Config,
         ana_params = ana.init(rng, dummy)
     if dis_params is None:
         dis_params = dis.init(jax.random.fold_in(rng, 1), dummy)
+    # extraction is inference-only: pre-cast weights to the compute
+    # dtype (same rounding as the per-use cast; halves HBM weight reads)
+    from ekaid_tpu.utils.dtypes import cast_params_for_inference
+    ana_params = cast_params_for_inference(ana_params, policy)
+    dis_params = cast_params_for_inference(dis_params, policy)
 
     n_nodes = det.num_anatomy_classes
 

@@ -58,9 +58,20 @@ def run_pipeline(a) -> None:
                     "--ckpt_out", ana_ckpt, "--which", "anatomy"]
             if a.synthetic:
                 args += ["--synthetic", str(max(64, a.synthetic))]
+            elif a.scene_graph_dir:
+                # silver ImaGenome stage (the reference's primary
+                # anatomy data path, train_anatomy.py:148-232)
+                args += ["--scene_graph_dir", a.scene_graph_dir,
+                         "--shapes_pkl",
+                         a.shapes_pkl or f"{png_dir}/mimic_shape_full.pkl",
+                         "--image_dir", png_dir]
             else:
-                assert a.gold_csv, "--gold_csv required for real data"
+                assert a.gold_csv, "--gold_csv or --scene_graph_dir " \
+                    "required for real data"
                 args += ["--gold_csv", a.gold_csv, "--image_dir", png_dir]
+            if a.detector_init:
+                args += ["--init_ckpt", a.detector_init,
+                         "--norm", "frozen_bn", "--stride_in_1x1"]
             td.main(args)
             if a.vindr_csv or a.synthetic:
                 args_d = ["--steps", str(a.detector_steps),
@@ -138,6 +149,12 @@ def main(argv=None):
     p.add_argument("--image_dir", default=None)
     p.add_argument("--question_csv", default=None)
     p.add_argument("--gold_csv", default=None)
+    p.add_argument("--scene_graph_dir", default=None,
+                   help="silver ImaGenome scene-graph dir (anatomy)")
+    p.add_argument("--shapes_pkl", default=None)
+    p.add_argument("--detector_init", default=None,
+                   help="converted reference detector params to "
+                        "fine-tune from (torch_convert --kind detector)")
     p.add_argument("--vindr_csv", default=None)
     p.add_argument("--cfg", default=None)
     p.add_argument("--image_size", type=int, default=1024)
