@@ -16,6 +16,13 @@ Extra fields on the same line:
   * platform — 'tpu' or 'cpu-fallback' (a wedged axon claim must not
     hang the driver; see memory/axon-tpu-quirks).
 
+Timing methodology: the axon relay DEDUPS identical execution requests
+(same executable + same input buffers → cached result in ~0.02 ms,
+measured 8192² matmul "57,645 TF/s"), so every timed loop here rotates
+distinct input batches; with rotation the same matmul probe lands at
+160 TF/s = 81% of v5e peak, which is believable. Any axon timing loop
+that reuses one input is measuring the relay's cache, not the chip.
+
 vs_baseline is null: the reference publishes no numbers (BASELINE.json
 "published": {}), and the reference GPU pipeline cannot run here.
 """
@@ -83,8 +90,11 @@ def bench_qa(platform: str):
     model = EkaidModel(cfg, ntoken=147, policy=policy)
 
     batch_size = cfg.data.test.batch_size          # 64, eval parity
-    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, batch_size,
-                                                      seed=0))
+    n_rot = 4 if platform == "tpu" else 1          # defeat relay dedup
+    batches = [jax.tree.map(jnp.asarray,
+                            synthetic_batch(cfg, batch_size, seed=s))
+               for s in range(n_rot)]
+    batch = batches[0]
     from ekaid_tpu.utils.dtypes import cast_params_for_inference
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -103,8 +113,8 @@ def bench_qa(platform: str):
 
     iters = 20 if platform == "tpu" else 2
     t0 = time.perf_counter()
-    for _ in range(iters):
-        seq = decode(params, batch)
+    for i in range(iters):
+        seq = decode(params, batches[i % n_rot])
     jax.block_until_ready(seq)
     dt = time.perf_counter() - t0
 
@@ -133,8 +143,8 @@ def bench_qa(platform: str):
             try:
                 jax.block_until_ready(dec_v(params, batch))
                 t0 = time.perf_counter()
-                for _ in range(iters):
-                    seq = dec_v(params, batch)
+                for i in range(iters):
+                    seq = dec_v(params, batches[i % n_rot])
                 jax.block_until_ready(seq)
                 out[f"pairs_per_sec_{name}"] = round(
                     batch_size * iters / (time.perf_counter() - t0), 2)
@@ -155,13 +165,14 @@ def bench_extract(platform: str, iters: int = 4):
     ana_apply, _ = build_detector_fns(cfg)
     b = det.batch_size
     rng = np.random.default_rng(0)
-    images = jax.numpy.asarray(
+    n_rot = 2                                      # defeat relay dedup
+    imgs = [jax.numpy.asarray(
         rng.uniform(0, 1, (b, det.image_size, det.image_size, 3)),
-        jax.numpy.float32)
-    jax.block_until_ready(ana_apply(images)["features"])   # compile
+        jax.numpy.float32) for _ in range(n_rot)]
+    jax.block_until_ready(ana_apply(imgs[0])["features"])   # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = ana_apply(images)
+    for i in range(iters):
+        out = ana_apply(imgs[i % n_rot])
     jax.block_until_ready(out["features"])
     dt = time.perf_counter() - t0
     return {"images_per_sec": b * iters / dt, "batch_size": b}
@@ -174,8 +185,10 @@ def main():
         os.environ["EKAID_PLATFORM"] = "cpu"
         platform = "cpu-fallback"
 
-    from ekaid_tpu.utils.platform import apply_platform_env
+    from ekaid_tpu.utils.platform import apply_platform_env, \
+        enable_compile_cache
     apply_platform_env()
+    enable_compile_cache()     # decode compile is minutes on axon
 
     qa = bench_qa(platform)
     record = {

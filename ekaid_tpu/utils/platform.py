@@ -12,6 +12,16 @@ from __future__ import annotations
 import os
 
 
+def enable_compile_cache(path: str = "/tmp/ekaid_jaxcache") -> None:
+    """Persistent XLA compile cache. The axon remote-compile service
+    takes minutes on the full decode program; caching makes repeat
+    bench/serving launches pay it once per program, not per process."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+
+
 def apply_platform_env() -> None:
     plat = os.environ.get("EKAID_PLATFORM")
     if not plat:

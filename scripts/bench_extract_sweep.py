@@ -55,7 +55,9 @@ def main():
     import jax.numpy as jnp
     from ekaid_tpu.config import default_config
     from ekaid_tpu.extract.runner import build_detector_fns
+    from ekaid_tpu.utils.platform import enable_compile_cache
 
+    enable_compile_cache()
     platform = jax.devices()[0].platform
     cfg = default_config()
     if a.image_size:
@@ -67,9 +69,13 @@ def main():
     for b in [int(x) for x in a.batches.split(",")]:
         cfg_b = cfg.replace(detector=det.replace(batch_size=b))
         ana_apply, _ = build_detector_fns(cfg_b)
-        images = jnp.asarray(
+        # two distinct image buffers: the axon relay dedups identical
+        # (executable, inputs) requests, so a single reused input times
+        # the relay cache, not the chip (see bench.py docstring)
+        images_rot = [jnp.asarray(
             rng.uniform(0, 1, (b, det.image_size, det.image_size, 3)),
-            jnp.float32)
+            jnp.float32) for _ in range(2)]
+        images = images_rot[0]
         t0 = time.perf_counter()
         jax.block_until_ready(ana_apply(images)["features"])
         compile_s = time.perf_counter() - t0
@@ -82,8 +88,8 @@ def main():
         except Exception:
             pass
         t0 = time.perf_counter()
-        for _ in range(a.iters):
-            out = ana_apply(images)
+        for i in range(a.iters):
+            out = ana_apply(images_rot[i % 2])
         jax.block_until_ready(out["features"])
         dt = (time.perf_counter() - t0) / a.iters
         rec = {"batch": b, "platform": platform,

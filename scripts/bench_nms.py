@@ -55,16 +55,26 @@ def main():
     from ekaid_tpu.ops.nms import nms
     from ekaid_tpu.ops.pallas_nms import nms_pallas
 
+    from ekaid_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
     R, B = a.rois, a.batch
-    centers = rng.uniform(100, 900, (B, R, 2))
-    sizes = rng.uniform(20, 200, (B, R, 2))
-    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
-                           axis=-1).astype(np.float32)
-    scores = rng.uniform(0, 1, (B, R)).astype(np.float32)
-    boxes_j = jnp.asarray(boxes)
-    scores_j = jnp.asarray(scores)
+
+    def make_inputs():
+        centers = rng.uniform(100, 900, (B, R, 2))
+        sizes = rng.uniform(20, 200, (B, R, 2))
+        boxes = np.concatenate([centers - sizes / 2,
+                                centers + sizes / 2],
+                               axis=-1).astype(np.float32)
+        scores = rng.uniform(0, 1, (B, R)).astype(np.float32)
+        return jnp.asarray(boxes), jnp.asarray(scores)
+
+    # rotate two input sets: the axon relay dedups identical execution
+    # requests (see bench.py docstring) — one reused input times the
+    # relay cache, not the kernel
+    inputs = [make_inputs() for _ in range(2)]
+    boxes_j, scores_j = inputs[0]
 
     def run(name, fn):
         jfn = jax.jit(fn)
@@ -72,8 +82,8 @@ def main():
         out = jax.block_until_ready(jfn(boxes_j, scores_j))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for _ in range(a.iters):
-            out = jfn(boxes_j, scores_j)
+        for i in range(a.iters):
+            out = jfn(*inputs[i % 2])
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / a.iters
         print(json.dumps({
