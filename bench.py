@@ -12,16 +12,25 @@ Extra fields on the same line:
     hooked loop, ana_bbox_generator.py:557-621). TPU runs only — the
     1024² R50-FPN is pointless to time on the CPU fallback.
   * decode_tflops / mfu_pct — XLA cost-analysis FLOPs for the decode
-    program divided by wall-clock, against v5e bf16 peak (197 TF/s).
+    program divided by measured step time, against v5e bf16 peak
+    (197 TF/s).
+  * fixed_latency_ms — the per-launch relay overhead the slope method
+    cancels (see below).
   * platform — 'tpu' or 'cpu-fallback' (a wedged axon claim must not
     hang the driver; see memory/axon-tpu-quirks).
 
-Timing methodology: the axon relay DEDUPS identical execution requests
-(same executable + same input buffers → cached result in ~0.02 ms,
-measured 8192² matmul "57,645 TF/s"), so every timed loop here rotates
-distinct input batches; with rotation the same matmul probe lands at
-160 TF/s = 81% of v5e peak, which is believable. Any axon timing loop
-that reuses one input is measuring the relay's cache, not the chip.
+Timing methodology (slope-chained): on the axon relay BOTH
+`block_until_ready` and repeated same-input loops lie — the relay acks
+buffers before execution completes (a chained 8192² matmul loop read
+"12,254 TF/s" under block_until_ready) and identical requests are
+served from a result cache ("57,645 TF/s"). The only true sync point
+is a device→host fetch. So every timed loop here (a) CHAINS requests —
+iteration i+1 consumes iteration i's output plus a unique index scalar,
+forcing serial on-device execution of unique programs — and (b) times
+N_lo and N_hi chained iterations each ended by a tiny D2H fetch, taking
+the slope (t_hi − t_lo)/(N_hi − N_lo) so the fixed fetch/roundtrip
+latency (~30 ms) cancels. Calibration: the same 8192² matmul measures
+184–188 TF/s = 93–95% of v5e bf16 peak under this method.
 
 vs_baseline is null: the reference publishes no numbers (BASELINE.json
 "published": {}), and the reference GPU pipeline cannot run here.
@@ -29,6 +38,7 @@ vs_baseline is null: the reference publishes no numbers (BASELINE.json
 
 from __future__ import annotations
 
+import argparse
 import json
 import socket
 import subprocess
@@ -77,25 +87,65 @@ def _program_tflops(jitted, *args) -> float:
         return 0.0
 
 
-def bench_qa(platform: str):
+def _slope_time(run_chain, n_lo: int, n_hi: int):
+    """Seconds/iteration via the slope of chained-run wall clock.
+
+    run_chain(n) must execute n serially-dependent device steps and end
+    with a tiny device→host fetch. Returns (sec_per_iter,
+    fixed_latency_sec)."""
+    t_lo = run_chain(n_lo)
+    t_hi = run_chain(n_hi)
+    per = (t_hi - t_lo) / (n_hi - n_lo)
+    return per, max(t_lo - n_lo * per, 0.0)
+
+
+def _decode_chain(model, params, batch, seq_len, batch_size):
+    """Chained decode step: d_feats perturbed by the previous seq and a
+    unique index so every request is distinct and serially dependent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def dstep(params, batch, carry, i):
+        feedback = (carry.sum(-1, keepdims=True).astype(jnp.float32) + i)
+        batch = dict(batch, d_feats=batch["d_feats"]
+                     + 1e-6 * feedback[:, :, None])
+        seq = model.apply(params, batch, method="decode",
+                          sample_max=True)["seq"]
+        return seq
+
+    zero = jnp.zeros((batch_size, seq_len), jnp.int32)
+    carry = dstep(params, batch, zero, jnp.float32(0))   # compile+warm
+    _ = np.asarray(carry[0, 0])
+
+    def run_chain(n):
+        carry = zero
+        t0 = time.perf_counter()
+        for i in range(n):
+            carry = dstep(params, batch, carry, jnp.float32(i + 1))
+        _ = np.asarray(carry[0, 0])
+        return time.perf_counter() - t0
+
+    return dstep, run_chain
+
+
+def bench_qa(platform: str, variants: bool = False):
     import jax
     import jax.numpy as jnp
     from ekaid_tpu.config import default_config
     from ekaid_tpu.data.synthetic import synthetic_batch
     from ekaid_tpu.models.ekaid import EkaidModel
-    from ekaid_tpu.utils.dtypes import Policy, canonical
+    from ekaid_tpu.utils.dtypes import (Policy, canonical,
+                                        cast_params_for_inference)
 
     cfg = default_config()
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
 
     batch_size = cfg.data.test.batch_size          # 64, eval parity
-    n_rot = 4 if platform == "tpu" else 1          # defeat relay dedup
-    batches = [jax.tree.map(jnp.asarray,
-                            synthetic_batch(cfg, batch_size, seed=s))
-               for s in range(n_rot)]
-    batch = batches[0]
-    from ekaid_tpu.utils.dtypes import cast_params_for_inference
+    batch = jax.tree.map(jnp.asarray,
+                         synthetic_batch(cfg, batch_size, seed=0))
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch, train=True)
@@ -103,28 +153,24 @@ def bench_qa(platform: str):
     # (same rounding as the per-use cast -> identical outputs)
     params = cast_params_for_inference(params, policy)
 
-    @jax.jit
-    def decode(params, batch):
-        return model.apply(params, batch, method="decode",
-                           sample_max=True)["seq"]
+    dstep, run_chain = _decode_chain(model, params, batch,
+                                     cfg.speaker.seq_length, batch_size)
+    tflops = _program_tflops(
+        dstep, params, batch,
+        jnp.zeros((batch_size, cfg.speaker.seq_length), jnp.int32),
+        jnp.float32(0))
 
-    jax.block_until_ready(decode(params, batch))   # compile + warmup
-    tflops = _program_tflops(decode, params, batch)
+    n_lo, n_hi = (10, 40) if platform == "tpu" else (1, 3)
+    per, fixed = _slope_time(run_chain, n_lo, n_hi)
 
-    iters = 20 if platform == "tpu" else 2
-    t0 = time.perf_counter()
-    for i in range(iters):
-        seq = decode(params, batches[i % n_rot])
-    jax.block_until_ready(seq)
-    dt = time.perf_counter() - t0
-
-    out = {"pairs_per_sec": batch_size * iters / dt,
-           "decode_tflops": round(tflops, 4)}
+    out = {"pairs_per_sec": batch_size / per,
+           "decode_tflops": round(tflops, 4),
+           "fixed_latency_ms": round(fixed * 1e3, 1)}
     if tflops > 0 and platform == "tpu":
-        out["mfu_pct"] = round(100.0 * tflops * 1e12 * iters / dt
+        out["mfu_pct"] = round(100.0 * tflops * 1e12 / per
                                / V5E_BF16_PEAK, 2)
 
-    if platform == "tpu":
+    if variants and platform == "tpu":
         # A/B the decode-step variants (same params, proven-equal
         # outputs — tests/test_model.py); results steer which knobs the
         # next round turns on by default
@@ -134,28 +180,24 @@ def bench_qa(platform: str):
                                                       scan_unroll=2))]:
             mv = EkaidModel(cfg.replace(speaker=sp), ntoken=147,
                             policy=policy)
-
-            @jax.jit
-            def dec_v(params, batch, mv=mv):
-                return mv.apply(params, batch, method="decode",
-                                sample_max=True)["seq"]
-
             try:
-                jax.block_until_ready(dec_v(params, batch))
-                t0 = time.perf_counter()
-                for i in range(iters):
-                    seq = dec_v(params, batches[i % n_rot])
-                jax.block_until_ready(seq)
-                out[f"pairs_per_sec_{name}"] = round(
-                    batch_size * iters / (time.perf_counter() - t0), 2)
+                _, run_v = _decode_chain(mv, params, batch,
+                                         cfg.speaker.seq_length,
+                                         batch_size)
+                per_v, _ = _slope_time(run_v, n_lo, n_hi)
+                out[f"pairs_per_sec_{name}"] = round(batch_size / per_v,
+                                                     2)
             except Exception as e:
                 out[f"pairs_per_sec_{name}"] = f"{type(e).__name__}"
     return out
 
 
-def bench_extract(platform: str, iters: int = 4):
-    """Anatomy-extraction steady state at the full 1024² geometry."""
+def bench_extract(platform: str):
+    """Anatomy-extraction steady state at the full 1024² geometry,
+    slope-chained like bench_qa (images perturbed by the previous
+    feature sum + index)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from ekaid_tpu.config import default_config
     from ekaid_tpu.extract.runner import build_detector_fns
@@ -165,20 +207,40 @@ def bench_extract(platform: str, iters: int = 4):
     ana_apply, _ = build_detector_fns(cfg)
     b = det.batch_size
     rng = np.random.default_rng(0)
-    n_rot = 2                                      # defeat relay dedup
-    imgs = [jax.numpy.asarray(
+    images = jnp.asarray(
         rng.uniform(0, 1, (b, det.image_size, det.image_size, 3)),
-        jax.numpy.float32) for _ in range(n_rot)]
-    jax.block_until_ready(ana_apply(imgs[0])["features"])   # compile
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = ana_apply(imgs[i % n_rot])
-    jax.block_until_ready(out["features"])
-    dt = time.perf_counter() - t0
-    return {"images_per_sec": b * iters / dt, "batch_size": b}
+        jnp.float32)
+
+    @jax.jit
+    def estep(images, carry, i):
+        images = images + 1e-7 * (carry + i)
+        out = ana_apply.__wrapped__(images) if hasattr(
+            ana_apply, "__wrapped__") else ana_apply(images)
+        return out["features"].sum().astype(jnp.float32)
+
+    carry = estep(images, jnp.float32(0), jnp.float32(0))  # compile
+    _ = np.asarray(carry)
+
+    def run_chain(n):
+        carry = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(n):
+            carry = estep(images, carry, jnp.float32(i + 1))
+        _ = np.asarray(carry)
+        return time.perf_counter() - t0
+
+    per, fixed = _slope_time(run_chain, 2, 8)
+    return {"images_per_sec": b / per, "batch_size": b,
+            "fixed_latency_ms": round(fixed * 1e3, 1)}
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", action="store_true",
+                    help="also A/B fused_core/scan_unroll decode "
+                         "variants (extra multi-minute compiles)")
+    a = ap.parse_args()
+
     platform = "tpu"
     if not _tpu_responsive():
         import os
@@ -190,7 +252,7 @@ def main():
     apply_platform_env()
     enable_compile_cache()     # decode compile is minutes on axon
 
-    qa = bench_qa(platform)
+    qa = bench_qa(platform, variants=a.variants)
     record = {
         "metric": "qa_pairs_per_sec_per_chip",
         "value": round(qa["pairs_per_sec"], 2),
@@ -198,6 +260,7 @@ def main():
         "vs_baseline": None,
         "platform": platform,
         "decode_tflops": qa["decode_tflops"],
+        "fixed_latency_ms": qa["fixed_latency_ms"],
     }
     for k, v in qa.items():
         if k.startswith("pairs_per_sec_") or k == "mfu_pct":
