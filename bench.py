@@ -205,18 +205,18 @@ def bench_extract(platform: str):
     cfg = default_config()
     det = cfg.detector
     ana_apply, _ = build_detector_fns(cfg)
-    b = det.batch_size
+    b = det.extract_batch_size
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.uniform(0, 1, (b, det.image_size, det.image_size, 3)),
         jnp.float32)
 
+    apply_fn = getattr(ana_apply, "__wrapped__", ana_apply)
+
     @jax.jit
     def estep(images, carry, i):
         images = images + 1e-7 * (carry + i)
-        out = ana_apply.__wrapped__(images) if hasattr(
-            ana_apply, "__wrapped__") else ana_apply(images)
-        return out["features"].sum().astype(jnp.float32)
+        return apply_fn(images)["features"].sum().astype(jnp.float32)
 
     carry = estep(images, jnp.float32(0), jnp.float32(0))  # compile
     _ = np.asarray(carry)

@@ -216,7 +216,13 @@ class DetectorConfig:
     score_thresh: float = 0.0
     proposals_per_image: int = 1000
     roi_pool_size: int = 7
-    batch_size: int = 8          # reference is locked to 1 (hook scheme)
+    batch_size: int = 8          # detector TRAINING batch
+    # inference/extraction batch. Measured on v5e at 1024² (docs/STATUS
+    # r2): extraction is dominated by its sequential sections, so
+    # batch 1 is the throughput-optimal point (79 img/s vs 41 at
+    # batch 8/32) as well as the latency-optimal one. The reference is
+    # also batch-1, but forced to it by its hook scheme.
+    extract_batch_size: int = 1
 
 
 @_frozen

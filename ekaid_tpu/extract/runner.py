@@ -111,7 +111,7 @@ def main(argv=None):
     if a.image_size:
         det = det.replace(image_size=a.image_size)
     if a.batch_size:
-        det = det.replace(batch_size=a.batch_size)
+        det = det.replace(extract_batch_size=a.batch_size)
     cfg = cfg.replace(detector=det)
 
     ana_params = dis_params = None
@@ -132,10 +132,11 @@ def main(argv=None):
                       feat_dim=det.roi_feat_dim)
     if a.synthetic:
         batches = synthetic_batches(a.synthetic, det.image_size,
-                                    det.batch_size)
+                                    det.extract_batch_size)
     else:
         assert a.image_dir, "--image_dir or --synthetic required"
-        batches = png_batches(a.image_dir, det.image_size, det.batch_size)
+        batches = png_batches(a.image_dir, det.image_size,
+                              det.extract_batch_size)
     ex.run(batches, writer)
     print(f"wrote {a.out}")
 

@@ -20,7 +20,11 @@ level with the canonical heuristic level = floor(k0 + log2(sqrt(area)/224))
 clamped to the pyramid (Detectron2 ROIPooler semantics), then flattens
 all levels into one row table and pools each ROI with a single gather
 against its level's offset — no dense pool-all-levels pass (the earlier
-dense formulation OOM'd training at 29 GB).
+dense formulation OOM'd training at 29 GB). The gather tail is shaped
+by measured v5e HBM behavior — feature-dtype temps, matmul-folded
+sample averaging, chunked ROIs (see multilevel_roi_align docstring);
+the f32 6-D-reshape formulation OOM'd batch-32 extraction at 33 GB
+with 73× tile-padding.
 """
 
 from __future__ import annotations
@@ -106,10 +110,21 @@ def assign_levels(rois: jnp.ndarray, min_level: int = 2,
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
+def _auto_chunk(r: int, target: int = 256) -> int:
+    """Largest divisor of r that is <= target (0 = don't chunk)."""
+    if r <= target:
+        return 0
+    for c in range(target, 0, -1):
+        if r % c == 0:
+            return c if c < r else 0
+    return 0
+
+
 def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          scales: Sequence[float], out_size: int = 7,
                          sampling_ratio: int = 2,
-                         min_level: int = 2) -> jnp.ndarray:
+                         min_level: int = 2,
+                         roi_chunk: int | None = None) -> jnp.ndarray:
     """fmaps: list of [H_l, W_l, C] (p2..p5); rois [R, 4] ->
     [R, out, out, C].
 
@@ -119,10 +134,19 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
     One gather instead of pooling every level densely (4x less compute
     and — critically for the training backward — 4x less live memory
     than the pool-all-and-select formulation).
+
+    TPU memory discipline (measured on v5e, batch-32 extract at 1024²):
+      * gathers and lerp weights stay in the feature dtype — converting
+        to f32 doubled the corner-gather temps to 4×5.98 GB;
+      * the s×s sample average is folded into two tiny [out, out*s]
+        matmuls (P·v·Pᵀ) instead of a reshape to [R,out,s,out,s,C]
+        whose (s,s)-trailing layout tile-pads 73× in HLO temps;
+      * ROIs are processed in `roi_chunk` blocks under lax.map
+        (roi_chunk=None auto-picks the largest divisor of R ≤ 256;
+        0 disables), bounding the live gather set.
     """
-    levels = assign_levels(rois, min_level=min_level,
-                           max_level=min_level + len(fmaps) - 1)
-    lvl_idx = levels - min_level                     # [R] in [0, L)
+    s = sampling_ratio
+    os_ = out_size * s
     C = fmaps[0].shape[-1]
     flat = jnp.concatenate([f.reshape(-1, C) for f in fmaps], axis=0)
     heights = jnp.asarray([f.shape[0] for f in fmaps])
@@ -131,47 +155,69 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
         [0] + list(np.cumsum([f.shape[0] * f.shape[1]
                               for f in fmaps]))[:-1])
     scale_arr = jnp.asarray(scales, jnp.float32)
+    max_level = min_level + len(fmaps) - 1
+    dt = flat.dtype
+    # s×s-sample mean folded into [out, out*s] averaging matmuls
+    pmat_np = np.zeros((out_size, os_), np.float32)
+    for b in range(out_size):
+        pmat_np[b, b * s:(b + 1) * s] = 1.0 / s
+    pmat = jnp.asarray(pmat_np, dt)
 
-    r_scale = scale_arr[lvl_idx]                     # [R]
-    r_h = heights[lvl_idx]
-    r_w = widths[lvl_idx]
-    r_off = offsets[lvl_idx]
+    def pool(rois):
+        levels = assign_levels(rois, min_level=min_level,
+                               max_level=max_level)
+        lvl_idx = levels - min_level                 # [R] in [0, L)
+        r_scale = scale_arr[lvl_idx]                 # [R]
+        r_h = heights[lvl_idx]
+        r_w = widths[lvl_idx]
+        r_off = offsets[lvl_idx]
 
-    x1 = rois[:, 0] * r_scale - 0.5
-    y1 = rois[:, 1] * r_scale - 0.5
-    roi_w = (rois[:, 2] - rois[:, 0]) * r_scale
-    roi_h = (rois[:, 3] - rois[:, 1]) * r_scale
+        x1 = rois[:, 0] * r_scale - 0.5
+        y1 = rois[:, 1] * r_scale - 0.5
+        roi_w = (rois[:, 2] - rois[:, 0]) * r_scale
+        roi_h = (rois[:, 3] - rois[:, 1]) * r_scale
 
-    s = sampling_ratio
-    bins = jnp.arange(out_size, dtype=jnp.float32)
-    sub = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    grid = (bins[:, None] + sub[None, :]).reshape(-1)   # [out*s]
-    ys = y1[:, None] + (roi_h / out_size)[:, None] * grid[None]  # [R,os]
-    xs = x1[:, None] + (roi_w / out_size)[:, None] * grid[None]
+        bins = jnp.arange(out_size, dtype=jnp.float32)
+        sub = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        grid = (bins[:, None] + sub[None, :]).reshape(-1)   # [out*s]
+        ys = y1[:, None] + (roi_h / out_size)[:, None] * grid[None]
+        xs = x1[:, None] + (roi_w / out_size)[:, None] * grid[None]
 
-    ys_b = ys[:, :, None]                            # [R, os, 1]
-    xs_b = xs[:, None, :]                            # [R, 1, os]
-    y0 = jnp.floor(ys_b)
-    x0 = jnp.floor(xs_b)
-    ly = ys_b - y0
-    lx = xs_b - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
+        ys_b = ys[:, :, None]                        # [R, os, 1]
+        xs_b = xs[:, None, :]                        # [R, 1, os]
+        y0 = jnp.floor(ys_b)
+        x0 = jnp.floor(xs_b)
+        ly = ys_b - y0
+        lx = xs_b - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
 
-    h = r_h[:, None, None]
-    w = r_w[:, None, None]
-    off = r_off[:, None, None]
+        h = r_h[:, None, None]
+        w = r_w[:, None, None]
+        off = r_off[:, None, None]
 
-    def flat_at(yi, xi):
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        return flat[off + yc * w + xc]               # [R, os, os, C]
+        def flat_at(yi, xi):
+            yc = jnp.clip(yi, 0, h - 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            return flat[off + yc * w + xc]           # [R, os, os, C]
 
-    v = (flat_at(y0i, x0i) * ((1 - ly) * (1 - lx))[..., None]
-         + flat_at(y0i, x0i + 1) * ((1 - ly) * lx)[..., None]
-         + flat_at(y0i + 1, x0i) * (ly * (1 - lx))[..., None]
-         + flat_at(y0i + 1, x0i + 1) * (ly * lx)[..., None])
-    inside = ((ys_b >= -1.0) & (ys_b <= h) & (xs_b >= -1.0) & (xs_b <= w))
-    v = jnp.where(inside[..., None], v, 0.0)
-    v = v.reshape(rois.shape[0], out_size, s, out_size, s, C)
-    return jnp.mean(v, axis=(2, 4))
+        w00 = ((1 - ly) * (1 - lx)).astype(dt)
+        w01 = ((1 - ly) * lx).astype(dt)
+        w10 = (ly * (1 - lx)).astype(dt)
+        w11 = (ly * lx).astype(dt)
+        v = (flat_at(y0i, x0i) * w00[..., None]
+             + flat_at(y0i, x0i + 1) * w01[..., None]
+             + flat_at(y0i + 1, x0i) * w10[..., None]
+             + flat_at(y0i + 1, x0i + 1) * w11[..., None])
+        inside = ((ys_b >= -1.0) & (ys_b <= h)
+                  & (xs_b >= -1.0) & (xs_b <= w))
+        v = jnp.where(inside[..., None], v, jnp.zeros((), dt))
+        t = jnp.einsum("pa,rabc->rpbc", pmat, v)     # avg sample rows
+        return jnp.einsum("qb,rpbc->rpqc", pmat, t)  # avg sample cols
+
+    r = rois.shape[0]
+    chunk = _auto_chunk(r) if roi_chunk is None else roi_chunk
+    if chunk and r % chunk == 0 and chunk < r:
+        out = jax.lax.map(pool, rois.reshape(-1, chunk, 4))
+        return out.reshape(r, out_size, out_size, C)
+    return pool(rois)

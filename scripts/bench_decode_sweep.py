@@ -1,0 +1,100 @@
+"""Decode throughput vs batch size (slope-chained, see bench.py).
+
+The 90-step LSTM decode is weight-streaming-bound at the reference's
+batch 64: ~29.5 MB of bf16 decode weights re-read from HBM every step
+(2.65 GB/invocation -> >=3.2 ms at 819 GB/s) versus ~2.1 ms of MXU
+compute, so larger batches amortize the weight traffic. Batch 64 is
+the BASELINE.md eval-parity point; this sweep finds the
+max-throughput point.
+
+Run single-flight on the chip:
+  python scripts/bench_decode_sweep.py [--batches 64,128,256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from bench import V5E_BF16_PEAK, _decode_chain, _program_tflops, \
+    _slope_time  # noqa: E402
+
+
+def relay_up() -> bool:
+    try:
+        socket.create_connection(("127.0.0.1", 8083), timeout=3).close()
+        return True
+    except OSError:
+        return False
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="64,128,256")
+    p.add_argument("--force_cpu", action="store_true")
+    a = p.parse_args()
+
+    if a.force_cpu:
+        os.environ["EKAID_PLATFORM"] = "cpu"
+        from ekaid_tpu.utils.platform import apply_platform_env
+        apply_platform_env()
+    elif not relay_up():
+        print(json.dumps({"error": "axon relay down; rerun when "
+                          "127.0.0.1:8083 answers"}))
+        sys.exit(1)
+
+    from ekaid_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.data.synthetic import synthetic_batch
+    from ekaid_tpu.models.ekaid import EkaidModel
+    from ekaid_tpu.utils.dtypes import (Policy, canonical,
+                                        cast_params_for_inference)
+
+    platform = jax.devices()[0].platform
+    cfg = default_config()
+    policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
+    model = EkaidModel(cfg, ntoken=147, policy=policy)
+
+    params = None
+    for b in [int(x) for x in a.batches.split(",")]:
+        batch = jax.tree.map(jnp.asarray,
+                             synthetic_batch(cfg, b, seed=0))
+        if params is None:     # params are batch-independent
+            params = model.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                batch, train=True)
+            params = cast_params_for_inference(params, policy)
+        try:
+            dstep, run_chain = _decode_chain(
+                model, params, batch, cfg.speaker.seq_length, b)
+            tflops = _program_tflops(
+                dstep, params, batch,
+                jnp.zeros((b, cfg.speaker.seq_length), jnp.int32),
+                jnp.float32(0))
+            n_lo, n_hi = (10, 40) if platform != "cpu" else (1, 3)
+            per, fixed = _slope_time(run_chain, n_lo, n_hi)
+            rec = {"batch": b, "platform": platform,
+                   "pairs_per_sec": round(b / per, 2),
+                   "ms_per_invocation": round(per * 1e3, 3),
+                   "program_tflops": round(tflops, 4),
+                   "fixed_latency_ms": round(fixed * 1e3, 1)}
+            if tflops > 0 and platform != "cpu":
+                rec["mfu_pct"] = round(
+                    100.0 * tflops * 1e12 / per / V5E_BF16_PEAK, 2)
+        except Exception as e:
+            rec = {"batch": b, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

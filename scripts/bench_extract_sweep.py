@@ -56,6 +56,7 @@ def main():
     from ekaid_tpu.config import default_config
     from ekaid_tpu.extract.runner import build_detector_fns
     from ekaid_tpu.utils.platform import enable_compile_cache
+    from bench import _slope_time
 
     enable_compile_cache()
     platform = jax.devices()[0].platform
@@ -69,29 +70,43 @@ def main():
     for b in [int(x) for x in a.batches.split(",")]:
         cfg_b = cfg.replace(detector=det.replace(batch_size=b))
         ana_apply, _ = build_detector_fns(cfg_b)
-        # two distinct image buffers: the axon relay dedups identical
-        # (executable, inputs) requests, so a single reused input times
-        # the relay cache, not the chip (see bench.py docstring)
-        images_rot = [jnp.asarray(
+        images = jnp.asarray(
             rng.uniform(0, 1, (b, det.image_size, det.image_size, 3)),
-            jnp.float32) for _ in range(2)]
-        images = images_rot[0]
+            jnp.float32)
+
+        # slope-chained timing (bench.py docstring): the relay acks
+        # before execution, so chain steps and slope out the roundtrip
+        apply_fn = getattr(ana_apply, "__wrapped__", ana_apply)
+
+        @jax.jit
+        def estep(images, carry, i):
+            images = images + 1e-7 * (carry + i)
+            return apply_fn(images)["features"].sum().astype(
+                jnp.float32)
+
+        import numpy as onp
         t0 = time.perf_counter()
-        jax.block_until_ready(ana_apply(images)["features"])
+        _ = onp.asarray(estep(images, jnp.float32(0), jnp.float32(0)))
         compile_s = time.perf_counter() - t0
         tflops = 0.0
         try:
-            cost = ana_apply.lower(images).compile().cost_analysis()
+            cost = estep.lower(images, jnp.float32(0),
+                               jnp.float32(0)).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             tflops = float(cost.get("flops", 0.0)) / 1e12
         except Exception:
             pass
-        t0 = time.perf_counter()
-        for i in range(a.iters):
-            out = ana_apply(images_rot[i % 2])
-        jax.block_until_ready(out["features"])
-        dt = (time.perf_counter() - t0) / a.iters
+
+        def chain(n):
+            c = jnp.float32(0)
+            t0 = time.perf_counter()
+            for i in range(n):
+                c = estep(images, c, jnp.float32(i + 1))
+            _ = onp.asarray(c)
+            return time.perf_counter() - t0
+
+        dt, _fixed = _slope_time(chain, 2, 2 + a.iters)
         rec = {"batch": b, "platform": platform,
                "image_size": det.image_size,
                "images_per_sec": round(b / dt, 2),

@@ -57,41 +57,49 @@ def main():
 
     from ekaid_tpu.utils.platform import enable_compile_cache
     enable_compile_cache()
+    from bench import _slope_time
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
     R, B = a.rois, a.batch
-
-    def make_inputs():
-        centers = rng.uniform(100, 900, (B, R, 2))
-        sizes = rng.uniform(20, 200, (B, R, 2))
-        boxes = np.concatenate([centers - sizes / 2,
-                                centers + sizes / 2],
-                               axis=-1).astype(np.float32)
-        scores = rng.uniform(0, 1, (B, R)).astype(np.float32)
-        return jnp.asarray(boxes), jnp.asarray(scores)
-
-    # rotate two input sets: the axon relay dedups identical execution
-    # requests (see bench.py docstring) — one reused input times the
-    # relay cache, not the kernel
-    inputs = [make_inputs() for _ in range(2)]
-    boxes_j, scores_j = inputs[0]
+    centers = rng.uniform(100, 900, (B, R, 2))
+    sizes = rng.uniform(20, 200, (B, R, 2))
+    boxes_j = jnp.asarray(np.concatenate(
+        [centers - sizes / 2, centers + sizes / 2],
+        axis=-1).astype(np.float32))
+    scores_j = jnp.asarray(rng.uniform(0, 1, (B, R)).astype(np.float32))
 
     def run(name, fn):
-        jfn = jax.jit(fn)
+        # slope-chained timing (see bench.py docstring): chain each
+        # step's boxes on the previous kept indices + a unique index,
+        # end each chain with a tiny D2H fetch, take the slope
+        @jax.jit
+        def step(boxes, scores, carry, i):
+            boxes = boxes + 1e-4 * (carry + i)
+            keep, mask = fn(boxes, scores)
+            return keep, mask, (keep.sum() + mask.sum()).astype(
+                jnp.float32)
+
         t0 = time.perf_counter()
-        out = jax.block_until_ready(jfn(boxes_j, scores_j))
+        keep, mask, carry = step(boxes_j, scores_j, jnp.float32(0),
+                                 jnp.float32(0))
+        _ = np.asarray(carry)
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for i in range(a.iters):
-            out = jfn(*inputs[i % 2])
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / a.iters
+
+        def chain(n):
+            c = jnp.float32(0)
+            t0 = time.perf_counter()
+            for i in range(n):
+                _, _, c = step(boxes_j, scores_j, c, jnp.float32(i + 1))
+            _ = np.asarray(c)
+            return time.perf_counter() - t0
+
+        dt, _fixed = _slope_time(chain, 5, 25)
         print(json.dumps({
             "impl": name, "platform": platform, "batch": B, "rois": R,
             "ms_per_batch": round(dt * 1e3, 3),
             "images_per_sec": round(B / dt, 1),
             "compile_s": round(compile_s, 1)}))
-        return np.asarray(out[0]), np.asarray(out[1])
+        return np.asarray(keep), np.asarray(mask)
 
     blocked = run("xla_blocked",
                   jax.vmap(lambda b, s: nms(b, s, 0.5, 100)))

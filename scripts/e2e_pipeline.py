@@ -70,7 +70,7 @@ def main():
     h5_path = os.path.join(a.workdir, "cmb_bbox_di_feats.hdf5")
     writer = H5Writer(h5_path, num_nodes=2 * det.num_anatomy_classes,
                       feat_dim=det.roi_feat_dim)
-    bs = det.batch_size
+    bs = det.extract_batch_size
     ex.run((imgs[i:i + bs] for i in range(0, a.n_images, bs)), writer)
 
     import h5py

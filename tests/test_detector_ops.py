@@ -189,6 +189,42 @@ def test_multilevel_roi_align_selects_right_level(rng):
     np.testing.assert_allclose(out[1], 2.0, rtol=1e-5)
 
 
+def test_multilevel_matches_single_level_oracle(rng):
+    """Every ROI pooled by multilevel must equal the per-sample oracle
+    run against its assigned level's map (exercises the matmul-folded
+    sample averaging and the flattened-table gather)."""
+    fmaps = [rng.standard_normal((64 >> i, 64 >> i, 3)).astype(np.float32)
+             for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = np.array([[8, 8, 48, 48],
+                     [4, 4, 120, 90],
+                     [8, 8, 208, 208],
+                     [0, 0, 800, 700],
+                     [30, 40, 31.5, 41.5]], np.float32)
+    lv = np.asarray(assign_levels(jnp.asarray(rois)))
+    got = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7))
+    for i, roi in enumerate(rois):
+        li = lv[i] - 2
+        want = roi_align_oracle(fmaps[li], roi, scales[li], 7, 2)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_multilevel_chunked_equals_unchunked(rng):
+    """lax.map ROI chunking must be a pure implementation detail."""
+    fmaps = [rng.standard_normal((32 >> i, 32 >> i, 4)).astype(np.float32)
+             for i in range(3)]
+    scales = [0.25, 0.125, 0.0625]
+    rois = jnp.asarray(random_boxes(rng, 12, size=128))
+    full = np.asarray(multilevel_roi_align(fmaps, rois, scales,
+                                           out_size=4, roi_chunk=0))
+    chunked = np.asarray(multilevel_roi_align(fmaps, rois, scales,
+                                              out_size=4, roi_chunk=4))
+    # fp reassociation between the lax.map-compiled and eager paths
+    np.testing.assert_allclose(chunked, full, rtol=1e-4, atol=1e-5)
+
+
 def test_blocked_nms_equals_argmax_reference(rng):
     """The blocked survivor-set NMS must make identical selections to the
     sequential argmax formulation at every size/tie pattern."""
