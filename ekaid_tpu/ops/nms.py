@@ -190,15 +190,28 @@ def fast_rcnn_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     """
     r, k = scores.shape[0], scores.shape[1] - 1
     cls_scores = scores[:, :k]                      # [R, K]
+    # score_thresh filter (:157): strictly greater, as the reference
+    masked = jnp.where(cls_scores > score_thresh, cls_scores, NEG)
+    # class-wise NMS has zero cross-class suppression by definition, so
+    # run the blocked survivor mask per class (vmapped: K parallel
+    # lanes of R rows = R/block sequential steps) instead of one
+    # class-offset pass over R*K rows (R*K/block steps — measured 102
+    # blocks and ~5 ms/image of the v5e extract tail at R=1000, K=26)
+    surv = jax.vmap(
+        lambda b, s: _survivor_mask(b, s, iou_thresh))(
+            boxes.transpose(1, 0, 2), masked.T)     # [K, R]
+    sel = jnp.where(surv.T & (masked > NEG / 2), masked, NEG)  # [R, K]
     flat_scores = cls_scores.reshape(-1)            # row-major (prop, cls)
     flat_boxes = boxes.reshape(-1, 4)
-    flat_classes = jnp.tile(jnp.arange(k), (r,))
-    # score_thresh filter (:157): strictly greater, as the reference
-    keep_mask = flat_scores > score_thresh
-    masked_scores = jnp.where(keep_mask, flat_scores, NEG)
-    idx, valid = batched_nms(flat_boxes, masked_scores, flat_classes,
-                             iou_thresh, max_out, score_thresh=NEG / 2)
-    valid = valid & (masked_scores[idx] > NEG)
+    # top-k in the same flat (prop, cls) order as the class-offset
+    # formulation -> identical selections AND identical tie order
+    m = min(max_out, r * k)
+    top, idx = jax.lax.top_k(sel.reshape(-1), m)
+    valid = top > NEG
+    if m < max_out:
+        idx = jnp.pad(idx, (0, max_out - m))
+        valid = jnp.pad(valid, (0, max_out - m))
+    idx = idx.astype(jnp.int32)
     return {
         "proposal_idx": (idx // k).astype(jnp.int32),
         "class_idx": (idx % k).astype(jnp.int32),
