@@ -218,11 +218,16 @@ class DetectorConfig:
     roi_pool_size: int = 7
     batch_size: int = 8          # detector TRAINING batch
     # inference/extraction batch. Measured on v5e at 1024² (docs/STATUS
-    # r2): extraction is dominated by its sequential sections, so
-    # batch 1 is the throughput-optimal point (79 img/s vs 41 at
-    # batch 8/32) as well as the latency-optimal one. The reference is
-    # also batch-1, but forced to it by its hook scheme.
-    extract_batch_size: int = 1
+    # r2): with the batched pallas ROIAlign + row-wise FC head, batch 8
+    # is the throughput optimum (112 img/s; batch 16 equal, batch 1
+    # ~52-90 with high relay variance). The reference is batch-1,
+    # forced to it by its hook scheme.
+    extract_batch_size: int = 8
+    # ROIAlign backend for the batched inference path: 'pallas'
+    # (patch-DMA kernel, ops/pallas_roi.py — 2.0x the XLA gather on
+    # v5e), 'xla' (differentiable gather), or 'auto' (pallas on TPU,
+    # xla elsewhere). Training always uses the XLA gather.
+    roi_backend: str = "auto"
 
 
 @_frozen

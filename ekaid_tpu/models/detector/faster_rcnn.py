@@ -42,10 +42,15 @@ class FasterRCNN(nn.Module):
                                   stride_in_1x1=self.stride_in_1x1,
                                   policy=self.policy, name="backbone")
         self.rpn = RPNHead(policy=self.policy, name="rpn")
+        backend = getattr(self.cfg, "roi_backend", "auto")
+        if backend == "auto":
+            backend = ("pallas"
+                       if jax.devices()[0].platform == "tpu" else "xla")
         self.box_head = BoxHead(self.num_classes,
                                 fc_dim=self.cfg.roi_feat_dim,
                                 pool_size=self.cfg.roi_pool_size,
-                                policy=self.policy, name="box_head")
+                                policy=self.policy,
+                                roi_backend=backend, name="box_head")
 
     def _features(self, images):
         feats = self.backbone(images)
@@ -66,12 +71,10 @@ class FasterRCNN(nn.Module):
         """Plain detection forward: returns proposals and ROI outputs."""
         pyramid = self._features(images)
         _, (boxes, scores, valid) = self._proposals(pyramid, train=train)
-
-        def per_image(fmaps, rois):
-            return self.box_head(fmaps, rois, FPN_SCALES)
-
-        feats, cls_scores, box_deltas = jax.vmap(per_image)(
-            [p for p in pyramid[:4]], boxes)
+        # one batched pooling call (B·R ROIs) + row-wise FCs — no
+        # per-image vmap: bigger matmuls and the pallas patch-DMA path
+        feats, cls_scores, box_deltas = self.box_head(
+            pyramid[:4], boxes, FPN_SCALES)
         return {"proposals": boxes, "proposal_scores": scores,
                 "proposal_valid": valid, "roi_features": feats,
                 "cls_scores": cls_scores, "box_deltas": box_deltas}

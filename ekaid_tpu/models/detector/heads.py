@@ -30,18 +30,34 @@ class BoxHead(nn.Module):
     fc_dim: int = 1024
     pool_size: int = 7
     policy: Policy = F32
+    roi_backend: str = "xla"      # 'xla' | 'pallas'; batched calls only
 
     @nn.compact
     def __call__(self, fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
                  scales: Sequence[float]
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """fmaps p2..p5 [H,W,C] (single image), rois [R, 4].
-        Returns (features [R, fc_dim], scores [R, K+1], deltas [R, K, 4]).
+        """fmaps p2..p5, rois [R, 4] (single image [H,W,C] maps) or
+        [B, R, 4] (batched [B,H,W,C] maps — pooled in ONE kernel call,
+        FCs row-wise over B·R; the inference path).
+        Returns (features [..., fc_dim], scores [..., K+1],
+        deltas [..., K*4]).
         """
         dt = self.policy.compute_dtype
-        pooled = multilevel_roi_align(fmaps, rois, scales,
-                                      out_size=self.pool_size)
-        x = pooled.reshape(pooled.shape[0], -1).astype(dt)
+        if rois.ndim == 3 and self.roi_backend == "pallas":
+            # patch-DMA kernel (no autodiff — inference path only)
+            from ekaid_tpu.ops.pallas_roi import \
+                multilevel_roi_align_pallas
+            pooled = multilevel_roi_align_pallas(
+                fmaps, rois, scales, out_size=self.pool_size)
+        elif rois.ndim == 3:
+            pooled = jax.vmap(
+                lambda fm, rr: multilevel_roi_align(
+                    fm, rr, scales, out_size=self.pool_size)
+            )(list(fmaps), rois)
+        else:
+            pooled = multilevel_roi_align(fmaps, rois, scales,
+                                          out_size=self.pool_size)
+        x = pooled.reshape(*pooled.shape[:-3], -1).astype(dt)
         x = nn.relu(nn.Dense(self.fc_dim, dtype=dt, name="fc1")(x))
         feat = nn.relu(nn.Dense(self.fc_dim, dtype=dt, name="fc2")(x))
         scores = nn.Dense(self.num_classes + 1, dtype=dt,

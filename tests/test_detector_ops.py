@@ -324,3 +324,51 @@ def test_augment_rotation_keeps_boxes_valid():
     assert (out_b[..., 2] >= out_b[..., 0]).all()
     assert (out_b[..., 3] >= out_b[..., 1]).all()
     assert out_b.min() >= 0 and out_b.max() <= S
+
+
+def test_pallas_roi_matches_xla(rng):
+    """Patch-DMA Pallas ROIAlign must match the XLA gather formulation
+    (interpret mode; includes p5-clamped huge ROIs and edge clamps)."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+    fmaps = [rng.standard_normal((256 >> i, 256 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = np.array([
+        [8, 8, 48, 48],          # small -> p2
+        [4, 4, 120, 90],
+        [8, 8, 208, 208],
+        [0, 0, 800, 700],        # large -> p5
+        [0, 0, 1023, 1023],      # full image, p5-clamped span
+        [1000, 1000, 1023, 1023],  # bottom-right edge
+        [-5, -5, 30, 30],        # off-image corner (clamped samples)
+        [30, 40, 31.5, 41.5],    # tiny
+    ], np.float32)
+    want = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7))
+    got = np.asarray(multilevel_roi_align_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_roi_batched_matches_per_image(rng):
+    """Batched mode (leading image dim + per-ROI image index) must equal
+    per-image pooling — including a ROI count that needs GROUP padding."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+    b = 3
+    fmaps = [rng.standard_normal((b, 128 >> i, 128 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = rng.uniform(0, 200, (b, 5, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[..., :2], rois[..., 2:]),
+                           np.maximum(rois[..., :2], rois[..., 2:]) + 2],
+                          axis=-1)
+    got = np.asarray(multilevel_roi_align_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    for i in range(b):
+        want = np.asarray(multilevel_roi_align(
+            [jnp.asarray(f[i]) for f in fmaps], jnp.asarray(rois[i]),
+            scales, out_size=7))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
