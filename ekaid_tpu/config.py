@@ -223,6 +223,13 @@ class DetectorConfig:
     # ~52-90 with high relay variance). The reference is batch-1,
     # forced to it by its hook scheme.
     extract_batch_size: int = 8
+    # backbone norm: 'gn' (GroupNorm-32, the from-scratch training
+    # default) or 'frozen_bn' (FrozenAffine — REQUIRED when running
+    # converted Detectron2 checkpoints, together with stride_in_1x1;
+    # GN would silently mis-apply those weights since both norms carry
+    # scale/bias params of the same names)
+    norm: str = "gn"
+    stride_in_1x1: bool = False
     # ROIAlign backend for the batched inference path: 'pallas'
     # (patch-DMA kernel, ops/pallas_roi.py — 2.0x the XLA gather on
     # v5e), 'xla' (differentiable gather), or 'auto' (pallas on TPU,

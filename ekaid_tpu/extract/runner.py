@@ -30,8 +30,10 @@ def build_detector_fns(cfg: Config,
     det = cfg.detector
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     ana = FasterRCNN(det, num_classes=det.num_anatomy_classes,
+                     norm=det.norm, stride_in_1x1=det.stride_in_1x1,
                      policy=policy)
     dis = FasterRCNN(det, num_classes=det.num_disease_classes,
+                     norm=det.norm, stride_in_1x1=det.stride_in_1x1,
                      policy=policy)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, det.image_size, det.image_size, 3), jnp.float32)
@@ -104,6 +106,10 @@ def main(argv=None):
     p.add_argument("--allow_random", action="store_true")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--norm", default=None, choices=["gn", "frozen_bn"],
+                   help="backbone norm; use frozen_bn (+--stride_in_1x1)"
+                        " for converted Detectron2 checkpoints")
+    p.add_argument("--stride_in_1x1", action="store_true")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
@@ -112,6 +118,10 @@ def main(argv=None):
         det = det.replace(image_size=a.image_size)
     if a.batch_size:
         det = det.replace(extract_batch_size=a.batch_size)
+    if a.norm:
+        det = det.replace(norm=a.norm)
+    if a.stride_in_1x1:
+        det = det.replace(stride_in_1x1=True)
     cfg = cfg.replace(detector=det)
 
     ana_params = dis_params = None

@@ -217,6 +217,9 @@ def convert_detectron2_rcnn(sd, pool: int = 7, channels: int = 256
     Load into `FasterRCNN(cfg, num_classes=K, norm='frozen_bn',
     stride_in_1x1=True)` — Detectron2's caffe-R50 strides the 1×1 conv
     (RESNETS.STRIDE_IN_1X1 default) and carries frozen BN affines.
+    The extraction CLI takes `--norm frozen_bn --stride_in_1x1` (or
+    set `detector.norm`/`detector.stride_in_1x1` in the config) so the
+    built model matches; GN would silently mis-apply these weights.
     Inputs must be preprocessed with `detectron2_preprocess` (BGR,
     0-255, mean-subtracted) for numerical parity.
     """

@@ -132,3 +132,32 @@ def test_detection_evaluator_end_to_end():
     ev2.add_image(off, gt_c, np.array([0.9, 0.8]),
                   np.array([True, True]), gt_b, gt_c, gt_v)
     assert ev2.summarize()["AP50"] == 0.0
+
+
+def test_build_detector_fns_honors_norm_config(monkeypatch):
+    """Converted Detectron2 checkpoints need frozen_bn+stride_in_1x1 at
+    model-construction time; GN would silently mis-apply them (both
+    norms carry same-named scale/bias params). The runner must pass the
+    config's norm fields through to FasterRCNN."""
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.extract import runner
+
+    seen = []
+
+    class FakeRCNN:
+        def __init__(self, det, num_classes, norm="gn",
+                     stride_in_1x1=False, policy=None):
+            seen.append((norm, stride_in_1x1))
+
+        def init(self, *a, **k):
+            return {}
+
+        def apply(self, *a, **k):          # never called here
+            raise AssertionError
+
+    monkeypatch.setattr(runner, "FasterRCNN", FakeRCNN)
+    cfg = default_config()
+    cfg = cfg.replace(detector=cfg.detector.replace(
+        norm="frozen_bn", stride_in_1x1=True, image_size=64))
+    runner.build_detector_fns(cfg)
+    assert seen == [("frozen_bn", True), ("frozen_bn", True)]
