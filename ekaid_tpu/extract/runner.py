@@ -25,8 +25,16 @@ from ekaid_tpu.utils.dtypes import Policy, canonical
 
 def build_detector_fns(cfg: Config,
                        ana_params=None, dis_params=None,
-                       rng: Optional[jax.Array] = None):
-    """Jitted (ana_apply, dis_apply) with given or random params."""
+                       rng: Optional[jax.Array] = None,
+                       mesh=None):
+    """Jitted (ana_apply, dis_apply) with given or random params.
+
+    With `mesh` (a Mesh carrying a 'data' axis), extraction runs
+    data-parallel via shard_map: each device processes batch/data
+    images with replicated params (the reference is single-GPU
+    batch-1; multi-chip extraction is green-field TPU design). The
+    pallas ROIAlign requires shard_map — a tpu_custom_call does not
+    auto-partition under plain GSPMD jit."""
     det = cfg.detector
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     ana = FasterRCNN(det, num_classes=det.num_anatomy_classes,
@@ -48,6 +56,39 @@ def build_detector_fns(cfg: Config,
     dis_params = cast_params_for_inference(dis_params, policy)
 
     n_nodes = det.num_anatomy_classes
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map            # jax >= 0.8
+        except ImportError:                      # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        ndata = mesh.shape["data"]
+
+        # check_vma off: the NMS while_loop carry starts from literal
+        # constants (unvarying) and becomes data-varying — sound here,
+        # since no cross-shard collectives exist in the detector
+        jana = jax.jit(shard_map(
+            lambda p, im: ana.apply(p, im, method="extract"),
+            mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
+            check_vma=False))
+        jdis = jax.jit(shard_map(
+            lambda p, im: dis.apply(p, im, method="detect",
+                                    max_out=n_nodes),
+            mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
+            check_vma=False))
+
+        def ana_apply(images):
+            assert images.shape[0] % ndata == 0, (
+                f"batch {images.shape[0]} must divide data axis {ndata}")
+            return jana(ana_params, images)
+
+        def dis_apply(images):
+            assert images.shape[0] % ndata == 0, (
+                f"batch {images.shape[0]} must divide data axis {ndata}")
+            return jdis(dis_params, images)
+
+        return ana_apply, dis_apply
 
     @jax.jit
     def ana_apply(images):
@@ -110,6 +151,9 @@ def main(argv=None):
                    help="backbone norm; use frozen_bn (+--stride_in_1x1)"
                         " for converted Detectron2 checkpoints")
     p.add_argument("--stride_in_1x1", action="store_true")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel extraction over N devices "
+                        "(0 = single device)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
@@ -136,7 +180,17 @@ def main(argv=None):
         raise SystemExit("no checkpoints given; pass --allow_random to "
                          "run with random detector weights")
 
-    ana_apply, dis_apply = build_detector_fns(cfg, ana_params, dis_params)
+    mesh = None
+    if a.dp:
+        from ekaid_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=a.dp, model=1,
+                         devices=jax.devices()[:a.dp])
+        if det.extract_batch_size % a.dp:
+            det = det.replace(extract_batch_size=max(
+                a.dp, det.extract_batch_size // a.dp * a.dp))
+            cfg = cfg.replace(detector=det)
+    ana_apply, dis_apply = build_detector_fns(cfg, ana_params, dis_params,
+                                              mesh=mesh)
     ex = Extractor(ana_apply, dis_apply, det.num_disease_classes)
     writer = H5Writer(a.out, num_nodes=2 * det.num_anatomy_classes,
                       feat_dim=det.roi_feat_dim)

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--batches", default="1,8,32")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--norm", default=None, choices=["gn", "frozen_bn"],
+                   help="backbone norm (frozen_bn = the converted-"
+                        "checkpoint deployment path)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -64,6 +67,8 @@ def main():
     if a.image_size:
         cfg = cfg.replace(detector=cfg.detector.replace(
             image_size=a.image_size))
+    if a.norm:
+        cfg = cfg.replace(detector=cfg.detector.replace(norm=a.norm))
     det = cfg.detector
     rng = np.random.default_rng(0)
 
@@ -108,6 +113,7 @@ def main():
 
         dt, _fixed = _slope_time(chain, 2, 2 + a.iters)
         rec = {"batch": b, "platform": platform,
+               "norm": cfg.detector.norm,
                "image_size": det.image_size,
                "images_per_sec": round(b / dt, 2),
                "ms_per_image": round(dt * 1e3 / b, 2),
