@@ -189,6 +189,8 @@ def bench_qa(platform: str, variants: bool = False):
         # next round turns on by default
         for name, sp in [
                 ("fused", cfg.speaker.replace(fused_core=True)),
+                ("unroll2", cfg.speaker.replace(scan_unroll=2)),
+                ("unroll4", cfg.speaker.replace(scan_unroll=4)),
                 ("fused_unroll2", cfg.speaker.replace(fused_core=True,
                                                       scan_unroll=2))]:
             mv = EkaidModel(cfg.replace(speaker=sp), ntoken=147,
