@@ -107,8 +107,11 @@ def _slope_time(run_chain, n_lo: int, n_hi: int, repeats: int = 2):
         key = (fixed < 0, per)
         if per > 0 and (best is None or key < best[0]):
             best = (key, per, max(fixed, 0.0))
-    if best is None:                       # degenerate: report last pair
-        return per, max(fixed, 0.0)
+    if best is None:
+        # every pair was nonlinear/negative (hard congestion): fall
+        # back to the conservative average of the longest chain — an
+        # overestimate of sec/iter, never a negative rate
+        return t_hi / n_hi, 0.0
     return best[1], best[2]
 
 

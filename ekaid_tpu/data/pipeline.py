@@ -256,8 +256,11 @@ class Loader:
         self.num_shards = num_shards
 
     def _shard_len(self):
-        n, k, i = len(self.ds), self.num_shards, self.shard_index
-        return n // k + (1 if n % k > i else 0)
+        # every host gets exactly n // k items: unequal shard sizes
+        # would desynchronize the lockstep jitted train step across
+        # processes (one host takes an extra global-mesh step and the
+        # pod hangs); the <k leftover examples are dropped each epoch
+        return len(self.ds) // self.num_shards
 
     def __len__(self):
         n = self._shard_len() // self.batch_size
@@ -274,6 +277,7 @@ class Loader:
             order = rng.permutation(order)
         if self.num_shards > 1:
             order = order[self.shard_index::self.num_shards]
+            order = order[:len(self.ds) // self.num_shards]  # lockstep
         return order
 
     def _batch_indices(self):

@@ -354,12 +354,15 @@ def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
             return bool(syn_idx.get(h, set()) & syn_idx.get(r, set()))
         try_stage(2, syn_eq)
     pairs = [(i, j, s) for i, (j, s) in enumerate(align) if j >= 0]
+    # a chunk requires adjacency in BOTH strings (METEOR definition):
+    # matched pairs whose hyp indices skip an unmatched word start a
+    # new chunk even if their ref indices are consecutive
     chunks = 0
-    prev = None
+    prev_i = prev_j = None
     for i, j, s in pairs:
-        if prev is None or j != prev + 1:
+        if prev_i is None or i != prev_i + 1 or j != prev_j + 1:
             chunks += 1
-        prev = j
+        prev_i, prev_j = i, j
     return pairs, chunks
 
 

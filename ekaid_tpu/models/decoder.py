@@ -316,7 +316,9 @@ class DynamicSpeaker(nn.Module):
         the 90-step cap, so this typically cuts decode compute several-
         fold; outputs are identical either way (post-EOS slots are 0).
 
-        Returns seq [B, T] int32 (0-terminated) and logprobs [B, T].
+        Returns seq [B, T] int32 (0-terminated), logprobs [B, T] and
+        module_weights [B, T, 3] (the per-step bef/diff/aft attention —
+        the quantity draw_by_asking_question.py visualizes).
         """
         c = self.cfg
         B, T = feat_bef.shape[0], c.seq_length
@@ -341,11 +343,11 @@ class DynamicSpeaker(nn.Module):
             t, key = inp
             xt = self._embed_word(it, None)
             if fused_step is not None:
-                h_lang, state, dpos, _ = fused_step(xt, fused, feats,
-                                                    state)
+                h_lang, state, dpos, mw = fused_step(xt, fused, feats,
+                                                     state)
             else:
-                h_lang, state, dpos, _ = self.core(xt, fused, feats,
-                                                   state, drop_key=None)
+                h_lang, state, dpos, mw = self.core(xt, fused, feats,
+                                                    state, drop_key=None)
             logp, _ = self._out_logprobs(h_lang, dpos, None)
             # first-step NULL suppression (:319-322)
             logp = jnp.where((t == 0) & (vocab_iota == 0)[None],
@@ -363,42 +365,48 @@ class DynamicSpeaker(nn.Module):
                 lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
             unfinished = unfinished & (nxt > 0)           # (:346-349)
             nxt = nxt * unfinished.astype(nxt.dtype)
-            return (state, nxt, unfinished), (nxt, lp)
+            return (state, nxt, unfinished), (nxt, lp,
+                                              mw.astype(jnp.float32))
 
         if self.is_mutable_collection("params"):
             carry = (state0, bos, jnp.ones((B,), bool))
-            _, (tok, lp) = step(carry, (jnp.int32(0), keys[0]))
+            _, (tok, lp, mw) = step(carry, (jnp.int32(0), keys[0]))
             seq = jnp.broadcast_to(tok[:, None], (B, T))
             lps = jnp.broadcast_to(lp[:, None], (B, T))
+            mws = jnp.broadcast_to(mw[:, None], (B, T, 3))
         elif early_exit:
             seq0 = jnp.zeros((B, T), jnp.int32)
             lps0 = jnp.zeros((B, T), jnp.float32)
+            mws0 = jnp.zeros((B, T, 3), jnp.float32)
 
             def cond(s):
-                t, _, _, unfinished, _, _ = s
+                t, _, _, unfinished, _, _, _ = s
                 return (t < T) & jnp.any(unfinished)
 
             def body(s):
-                t, state, it, unfinished, seq, lps = s
-                (state, nxt, unfinished), (tok, lp) = step(
+                t, state, it, unfinished, seq, lps, mws = s
+                (state, nxt, unfinished), (tok, lp, mw) = step(
                     (state, it, unfinished), (t, keys[t]))
                 seq = jax.lax.dynamic_update_slice(seq, tok[:, None],
                                                    (0, t))
                 lps = jax.lax.dynamic_update_slice(
                     lps, lp.astype(lps.dtype)[:, None], (0, t))
-                return t + 1, state, nxt, unfinished, seq, lps
+                mws = jax.lax.dynamic_update_slice(
+                    mws, mw[:, None, :], (0, t, 0))
+                return t + 1, state, nxt, unfinished, seq, lps, mws
 
-            _, _, _, _, seq, lps = jax.lax.while_loop(
+            _, _, _, _, seq, lps, mws = jax.lax.while_loop(
                 cond, body,
                 (jnp.int32(0), state0, bos, jnp.ones((B,), bool), seq0,
-                 lps0))
+                 lps0, mws0))
         else:
-            _, (seq, lps) = jax.lax.scan(
+            _, (seq, lps, mws) = jax.lax.scan(
                 step, (state0, bos, jnp.ones((B,), bool)),
                 (jnp.arange(T), keys), unroll=c.scan_unroll)
             seq = jnp.swapaxes(seq, 0, 1)
             lps = jnp.swapaxes(lps, 0, 1)
-        return {"seq": seq, "logprobs": lps}
+            mws = jnp.swapaxes(mws, 0, 1)                # [B, T, 3]
+        return {"seq": seq, "logprobs": lps, "module_weights": mws}
 
     def sample_beam(self, feat_bef, feat_aft, feat_diff,
                     beam_size: Optional[int] = None,

@@ -143,11 +143,13 @@ int64_t meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
       }
     }
   }
-  int64_t chunks = 0, prev = -2;
+  // a chunk requires adjacency in BOTH strings (METEOR definition)
+  int64_t chunks = 0, prev_i = -2, prev_j = -2;
   for (int64_t i = 0; i < nh; ++i) {
     if (out_align[i] < 0) continue;
-    if (out_align[i] != prev + 1) ++chunks;
-    prev = out_align[i];
+    if (i != prev_i + 1 || out_align[i] != prev_j + 1) ++chunks;
+    prev_i = i;
+    prev_j = out_align[i];
   }
   return chunks;
 }

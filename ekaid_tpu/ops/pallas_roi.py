@@ -196,9 +196,29 @@ def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
     b, r_per = rois.shape[0], rois.shape[1]
 
     # SMEM holds the prefetched per-ROI tables (~48 B/ROI flat); past
-    # ~16k ROIs it overflows the ~2 MB budget — chunk over images with
-    # lax.map (sequential kernel calls, same outputs)
+    # ~16k ROIs it overflows the ~2 MB budget — chunk with lax.map
+    # (sequential kernel calls, same outputs): first the ROI dim (also
+    # covers a single image with >16k ROIs), then whole images
     max_rois = 16384
+    if r_per > max_rois:
+        rc = max_rois
+        pad_r = (-r_per) % rc
+        rp = jnp.concatenate(
+            [rois, jnp.zeros((b, pad_r, 4), rois.dtype)],
+            axis=1) if pad_r else rois
+        blocks = jnp.swapaxes(rp.reshape(b, -1, rc, 4), 0, 1)
+
+        def one_blk(blk):
+            return multilevel_roi_align_pallas(
+                list(fmaps), blk, scales, out_size=out_size,
+                sampling_ratio=sampling_ratio, min_level=min_level,
+                interpret=interpret)
+
+        out = jax.lax.map(one_blk, blocks)     # [k, b, rc, o, o, C]
+        out = jnp.swapaxes(out, 0, 1).reshape(
+            b, -1, out_size, out_size,
+            fmaps[0].shape[-1])[:, :r_per]
+        return out if batched else out[0]
     if b * r_per > max_rois and b > 1:
         bc = max(1, max_rois // max(r_per, 1))
         while b % bc:
@@ -241,6 +261,28 @@ def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
     levels = assign_levels(flat_rois, min_level=min_level,
                            max_level=min_level + num_levels - 1)
     lvl_idx = levels - min_level
+
+    # Elongated-ROI fit bump (DOCUMENTED DEVIATION, docs/PARITY.md):
+    # assign_levels bounds sqrt(w*h) only, so a high-aspect box (e.g.
+    # 1000x50, aspect > ~3) can span more pixels at its assigned level
+    # than the fixed patch holds — which would silently zero the
+    # overflowed columns. Such ROIs are bumped to the first coarser
+    # level whose (halving) scale fits their longer side in the patch.
+    # At the top level the whole map fits inside the patch (asserted
+    # below), so every ROI fits by construction; clamped samples there
+    # are handled exactly by the hat weights.
+    assert heights[-1] <= min(PATCH_Y, PATCH_X), (
+        f"top-level map {heights[-1]} exceeds the patch — use the XLA "
+        "roi backend for image sizes above PATCH*2^max_level")
+    cap = 44.0                                  # patch minus margins
+    long_side = jnp.maximum(
+        jnp.maximum(flat_rois[:, 2] - flat_rois[:, 0],
+                    flat_rois[:, 3] - flat_rois[:, 1]), 0.0)
+    l_needed = jnp.ceil(jnp.log2(jnp.maximum(
+        long_side * float(scales[0]) / cap, 1e-6))).astype(jnp.int32)
+    lvl_idx = jnp.clip(jnp.maximum(lvl_idx, l_needed), 0,
+                       num_levels - 1)
+
     h_arr = jnp.asarray(heights, jnp.float32)[lvl_idx]
     py_arr = jnp.minimum(float(PATCH_Y), h_arr)     # per-ROI patch rows
     px_arr = jnp.minimum(float(PATCH_X), h_arr)     # per-ROI patch cols

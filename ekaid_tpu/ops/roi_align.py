@@ -111,13 +111,12 @@ def assign_levels(rois: jnp.ndarray, min_level: int = 2,
 
 
 def _auto_chunk(r: int, target: int = 256) -> int:
-    """Largest divisor of r that is <= target (0 = don't chunk)."""
-    if r <= target:
-        return 0
-    for c in range(target, 0, -1):
-        if r % c == 0:
-            return c if c < r else 0
-    return 0
+    """Chunk size for r ROIs: the fixed target when chunking pays
+    (r > target), else 0. Non-divisible r is PADDED up by the caller —
+    a divisor search here degenerated to chunk 1–2 for prime-ish r,
+    turning one pooling into an R-step lax.map (the axon remote
+    compiler takes >10 min on 1000-step sequential loops)."""
+    return target if r > target else 0
 
 
 def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
@@ -142,8 +141,9 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
         matmuls (P·v·Pᵀ) instead of a reshape to [R,out,s,out,s,C]
         whose (s,s)-trailing layout tile-pads 73× in HLO temps;
       * ROIs are processed in `roi_chunk` blocks under lax.map
-        (roi_chunk=None auto-picks the largest divisor of R ≤ 256;
-        0 disables), bounding the live gather set.
+        (roi_chunk=None chunks at 256, padding R up to a multiple —
+        the trip count stays ~R/256 for ANY R; 0 disables), bounding
+        the live gather set.
     """
     s = sampling_ratio
     os_ = out_size * s
@@ -217,7 +217,10 @@ def multilevel_roi_align(fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
 
     r = rois.shape[0]
     chunk = _auto_chunk(r) if roi_chunk is None else roi_chunk
-    if chunk and r % chunk == 0 and chunk < r:
-        out = jax.lax.map(pool, rois.reshape(-1, chunk, 4))
-        return out.reshape(r, out_size, out_size, C)
+    if chunk and chunk < r:
+        pad = (-r) % chunk                  # bound the trip count: pad
+        rp = jnp.concatenate(               # instead of divisor-hunting
+            [rois, jnp.zeros((pad, 4), rois.dtype)]) if pad else rois
+        out = jax.lax.map(pool, rp.reshape(-1, chunk, 4))
+        return out.reshape(r + pad, out_size, out_size, C)[:r]
     return pool(rois)

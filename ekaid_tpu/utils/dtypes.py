@@ -59,20 +59,28 @@ def cast_params_for_inference(params, policy: "Policy"):
     casting — pre-rounding v would change the norm. Train state must
     keep f32 masters — use this only on a decode/serving copy.
     """
-    import jax
-
     if policy.compute_dtype == jnp.float32:
         return params
 
-    def cast(path, x):
-        keys = [str(getattr(k, "key", k)) for k in path]
-        if any("WNDense" in k for k in keys):
-            return x
-        if hasattr(x, "dtype") and x.dtype == jnp.float32:
-            return jnp.asarray(x, policy.compute_dtype)
-        return x
+    def is_weight_norm_module(node) -> bool:
+        # structural detection: a WNDense module dict carries exactly
+        # the weight-norm pair {v, g} (+ optional bias). Matching the
+        # module NAME ('WNDense_0') would silently stop protecting a
+        # WNDense given an explicit name= — the exact hazard the skip
+        # exists to prevent.
+        return ("v" in node and "g" in node
+                and set(node) <= {"v", "g", "bias"})
 
-    return jax.tree_util.tree_map_with_path(cast, params)
+    def cast(node):
+        if hasattr(node, "keys"):             # dict / FrozenDict
+            if is_weight_norm_module(node):
+                return node
+            return type(node)({k: cast(v) for k, v in node.items()})
+        if hasattr(node, "dtype") and node.dtype == jnp.float32:
+            return jnp.asarray(node, policy.compute_dtype)
+        return node
+
+    return cast(params)
 
 
 F32 = Policy(compute_dtype=jnp.float32)

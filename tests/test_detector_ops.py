@@ -372,3 +372,91 @@ def test_pallas_roi_batched_matches_per_image(rng):
             [jnp.asarray(f[i]) for f in fmaps], jnp.asarray(rois[i]),
             scales, out_size=7))
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_roi_elongated_boxes_bump_level(rng):
+    """High-aspect ROIs overflow the fixed patch at their sqrt-area
+    level; the kernel must bump them to a coarser level that fits (a
+    documented deviation) — NEVER silently zero the overflow. Oracle:
+    single-level roi_align at the bumped level."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+    from ekaid_tpu.ops.roi_align import roi_align
+
+    fmaps = [rng.standard_normal((256 >> i, 256 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = np.array([
+        [0, 300, 1000, 350],     # 1000x50, aspect 20
+        [100, 0, 160, 900],      # 60x900, aspect 15 (tall)
+        [0, 0, 700, 100],        # 700x100, aspect 7
+        [10, 10, 40, 40],        # control: small square, no bump
+    ], np.float32)
+    got = np.asarray(multilevel_roi_align_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    # expected level: max(assigned, first whose scale fits long side
+    # in the 44-px patch budget)
+    for i, roi in enumerate(rois):
+        w, h = roi[2] - roi[0], roi[3] - roi[1]
+        size = np.sqrt(w * h)
+        assigned = int(np.clip(np.floor(
+            4 + np.log2(max(size, 1e-6) / 224)), 2, 5)) - 2
+        need = int(np.ceil(np.log2(max(
+            max(w, h) * scales[0] / 44.0, 1e-6))))
+        lvl = int(np.clip(max(assigned, need), 0, 3))
+        want = np.asarray(roi_align(
+            jnp.asarray(fmaps[lvl]), jnp.asarray(roi[None]),
+            scales[lvl], out_size=7))[0]
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"roi {i} lvl {lvl}")
+    # and crucially: no silently-zeroed columns on the wide ROI
+    assert np.abs(got[0]).max(axis=(0, 2)).min() > 0
+
+
+def test_multilevel_roi_align_prime_roi_count(rng):
+    """A prime R must still chunk via padding (a divisor search would
+    degenerate to an R-step sequential lax.map — a >10 min remote
+    compile on axon); result identical to unchunked."""
+    fmaps = [rng.standard_normal((64 >> i, 64 >> i, 4)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    r = 263                                            # prime > 256
+    rois = random_boxes(rng, r, size=250)
+    chunked = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=4))                                   # auto chunk=256
+    plain = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=4, roi_chunk=0))
+    assert chunked.shape == (r, 4, 4, 4)
+    np.testing.assert_allclose(chunked, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_roi_single_image_over_smem_budget(rng):
+    """>16384 ROIs on ONE image must chunk over the ROI dim (SMEM
+    scalar-prefetch budget); equality vs the XLA path on all ROIs the
+    level-bump deviation doesn't touch."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+
+    fmaps = [rng.standard_normal((64 >> i, 64 >> i, 2)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    r = 16500
+    rois = rng.uniform(0, 200, (r, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[:, :2], rois[:, 2:]),
+                           np.maximum(rois[:, :2], rois[:, 2:]) + 2], 1)
+    long_side = np.maximum(rois[:, 2] - rois[:, 0],
+                           rois[:, 3] - rois[:, 1])
+    lv = np.asarray(assign_levels(jnp.asarray(rois))) - 2
+    need = np.ceil(np.log2(np.maximum(long_side * 0.25 / 44.0,
+                                      1e-6))).astype(int)
+    unbumped = np.clip(np.maximum(lv, need), 0, 3) == lv
+    got = np.asarray(multilevel_roi_align_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=4, interpret=True))
+    want = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=4))
+    assert got.shape == (r, 4, 4, 2)
+    np.testing.assert_allclose(got[unbumped], want[unbumped],
+                               rtol=1e-4, atol=1e-5)

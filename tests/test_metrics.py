@@ -192,7 +192,19 @@ def test_meteor15_vs_lite_delta_pinned():
     assert 0 < full < 1 and 0 < lite < 1
     # pinned measured values (regression anchors; see docs/PARITY.md)
     np.testing.assert_allclose(lite, 0.2864, atol=2e-3)
-    np.testing.assert_allclose(full, 0.2588, atol=2e-3)
+    np.testing.assert_allclose(full, 0.2539, atol=2e-3)
+
+
+def test_meteor_chunks_require_adjacency_in_both_strings():
+    """METEOR chunk definition: matched pairs are one chunk only when
+    contiguous in BOTH hypothesis and reference. 'the cat X sat' vs
+    'the cat sat' matches (0,0),(1,1),(3,2): consecutive ref indices
+    but a hyp gap -> 2 chunks, penalizing the interleaved mismatch."""
+    from ekaid_tpu.metrics.caption import _meteor15_align
+    pairs, chunks = _meteor15_align(
+        ["the", "cat", "x", "sat"], ["the", "cat", "sat"], {})
+    assert [(i, j) for i, j, _ in pairs] == [(0, 0), (1, 1), (3, 2)]
+    assert chunks == 2
 
 
 def test_proposal_recall():

@@ -483,3 +483,22 @@ def test_fused_core_decode_equivalence():
     np.testing.assert_allclose(np.asarray(a["logprobs"]),
                                np.asarray(b["logprobs"]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_inference_cast_protects_named_weight_norm():
+    """Weight-norm {v, g} pairs must stay f32 regardless of the module
+    NAME (the old 'WNDense' substring match broke for explicitly-named
+    modules); ordinary kernels cast."""
+    from ekaid_tpu.utils.dtypes import BF16, cast_params_for_inference
+
+    params = {"params": {
+        "proj": {"v": jnp.ones((4, 2), jnp.float32),
+                 "g": jnp.ones((2,), jnp.float32),
+                 "bias": jnp.ones((2,), jnp.float32)},
+        "dense": {"kernel": jnp.ones((4, 2), jnp.float32),
+                  "bias": jnp.ones((2,), jnp.float32)}}}
+    out = cast_params_for_inference(params, BF16)
+    assert out["params"]["proj"]["v"].dtype == jnp.float32
+    assert out["params"]["proj"]["g"].dtype == jnp.float32
+    assert out["params"]["dense"]["kernel"].dtype == jnp.bfloat16
+    assert out["params"]["dense"]["bias"].dtype == jnp.bfloat16

@@ -301,3 +301,23 @@ def test_loader_multihost_sharding():
                                   np.sort(ds.split_idxs))
     # disjoint
     assert len(np.unique(allseen)) == 32
+
+
+def test_loader_multihost_sharding_lockstep_uneven():
+    """When len(dataset) % num_shards != 0, every host must still see
+    the SAME number of batches — an extra per-host batch would leave
+    that host's global-mesh train step without counterparts and hang
+    the pod. The <num_shards leftovers are dropped."""
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=40)
+    n = len(ds)
+    k = 3                                              # n % 3 != 0
+    assert n % k != 0
+    shards = [Loader(ds, batch_size=4, shuffle=True, seed=9,
+                     shard_index=i, num_shards=k) for i in range(k)]
+    lens = [len(s) for s in shards]
+    counts = [sum(len(b["pair_index"]) for b in s) for s in shards]
+    assert len(set(lens)) == 1
+    assert len(set(counts)) == 1
+    # every shard sees exactly n // k examples (pre-batching)
+    assert counts[0] <= n // k and counts[0] >= n // k - 4 + 1

@@ -178,6 +178,11 @@ def test_ask_question_synthetic(tmp_path):
     assert sum(res["counts"].values()) == 4
     assert isinstance(res["greedy"], str)
     assert isinstance(res["gt_answer"], str)
+    # the module-weights panel data must actually flow out of decode
+    # (was silently None: decode didn't return module_weights)
+    mw = res["module_weights"]
+    assert mw is not None and mw.shape[-1] == 3
+    np.testing.assert_allclose(mw.sum(-1), 1.0, atol=1e-3)
 
 
 def test_find_examples_filters(tmp_path):
