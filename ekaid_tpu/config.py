@@ -198,6 +198,16 @@ class DtypeConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     softmax_dtype: str = "float32"
+    # cast the f32 master params to compute_dtype ONCE per train step
+    # (inside the grad): the 90-step decoder scan otherwise re-reads
+    # every weight matrix from HBM as f32 each step, forward AND
+    # backward (~11 GB/step at batch 64). XLA does not hoist the
+    # per-use cast out of the scan (measured: pre-casting sped up
+    # inference decode). Numerics note: the scan's weight-gradient
+    # accumulation then runs in bf16 instead of f32 — loss values are
+    # identical (same rounding as the per-use cast), gradients lose
+    # ~2-3 mantissa bits across the 90-step sum. Off by default.
+    train_param_cast: bool = False
 
 
 @_frozen

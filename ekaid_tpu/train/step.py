@@ -77,12 +77,21 @@ def init_state(model: EkaidModel, tx, batch, rng) -> TrainState:
 
 def train_step(model: EkaidModel, tx, att_reg_weight: float,
                state: TrainState, batch: Dict, rng,
-               ss_prob: float = 0.0) -> Tuple[TrainState, Dict]:
-    """One SGD step; pure function of (state, batch, rng)."""
+               ss_prob: float = 0.0,
+               param_cast: bool = False) -> Tuple[TrainState, Dict]:
+    """One SGD step; pure function of (state, batch, rng).
+
+    param_cast (dtypes.train_param_cast): cast f32 masters to the
+    compute dtype once inside the grad — halves the decoder scan's
+    per-step HBM weight reads (fwd + bwd) at the cost of bf16 weight-
+    gradient accumulation across scan steps (see config.py)."""
     step_rng = jax.random.fold_in(rng, state.step)
     d_rng, s_rng = jax.random.split(step_rng)
 
     def loss_fn(params):
+        if param_cast:
+            from ekaid_tpu.utils.dtypes import cast_params_for_inference
+            params = cast_params_for_inference(params, model.policy)
         out = model.apply(params, batch, ss_prob=ss_prob, train=True,
                           rngs={"dropout": d_rng, "sample": s_rng})
         loss, aux = total_loss(out, batch, att_reg_weight)
@@ -134,7 +143,7 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
 
 def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
                       mesh: Mesh, state: TrainState, batch: Dict,
-                      ss_prob: float = 0.0):
+                      ss_prob: float = 0.0, param_cast: bool = False):
     """Compile sharded train/eval steps over `mesh`.
 
     Params/opt_state follow the TP rules in parallel.mesh (replicated
@@ -158,7 +167,7 @@ def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
         if key not in cache:
             cache[key] = jax.jit(
                 partial(train_step, model, tx, att_reg_weight,
-                        ss_prob=key),
+                        ss_prob=key, param_cast=param_cast),
                 in_shardings=(state_sh, b_sh, rep),
                 out_shardings=(state_sh, rep),
                 donate_argnums=(0,))      # donate `state`

@@ -97,7 +97,8 @@ class Trainer:
         state = init_state(self.model, self.tx, example, init_rng)
         self.make_train, self.jit_eval, self.state = make_jitted_steps(
             self.model, self.tx, cfg.train.att_reg_weight, self.mesh,
-            state, example)
+            state, example,
+            param_cast=getattr(cfg.dtypes, "train_param_cast", False))
         self.jit_train = self.make_train(0.0)
         self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
         self.best = self.ckpt.best_metric()

@@ -38,6 +38,11 @@ def relay_up() -> bool:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--unroll", type=int, default=0,
+                   help="override speaker.scan_unroll (0 = config)")
+    p.add_argument("--cast", action="store_true",
+                   help="dtypes.train_param_cast: one bf16 weight cast "
+                        "per step instead of 90 per-use f32 reads")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -64,6 +69,9 @@ def main():
 
     platform = jax.devices()[0].platform
     cfg = default_config()
+    if a.unroll:
+        cfg = cfg.replace(speaker=cfg.speaker.replace(
+            scan_unroll=a.unroll))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
     tx = make_optimizer(cfg.train.optim)
@@ -74,7 +82,8 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     step = jax.jit(partial(train_step, model, tx,
-                           cfg.train.att_reg_weight, ss_prob=0.0),
+                           cfg.train.att_reg_weight, ss_prob=0.0,
+                           param_cast=a.cast),
                    donate_argnums=(0,))
 
     tflops = 0.0
@@ -102,6 +111,8 @@ def main():
     n_lo, n_hi = (5, 20) if platform != "cpu" else (1, 3)
     per, fixed = _slope_time(chain, n_lo, n_hi)
     rec = {"metric": "train_pairs_per_sec", "batch": b,
+           "unroll": cfg.speaker.scan_unroll,
+           "param_cast": bool(a.cast),
            "platform": platform,
            "pairs_per_sec": round(b / per, 2),
            "ms_per_step": round(per * 1e3, 2),
