@@ -240,6 +240,12 @@ class DetectorConfig:
     # scale/bias params of the same names)
     norm: str = "gn"
     stride_in_1x1: bool = False
+    # input normalization applied ON-DEVICE by the extraction fns:
+    # 'unit' = RGB in [0,1] (the from-scratch training convention);
+    # 'detectron2' = caffe-BGR 0-255 mean-subtracted (zoo R50-FPN
+    # pixel_mean; REQUIRED with converted Detectron2 checkpoints —
+    # see tools/torch_convert.py::detectron2_preprocess)
+    preprocess: str = "unit"
     # ROIAlign backend for the batched inference path: 'pallas'
     # (patch-DMA kernel, ops/pallas_roi.py — 2.0x the XLA gather on
     # v5e), 'xla' (differentiable gather), or 'auto' (pallas on TPU,

@@ -57,6 +57,19 @@ def build_detector_fns(cfg: Config,
 
     n_nodes = det.num_anatomy_classes
 
+    def as_float(images):
+        # uint8 batches normalize on-device (png_batches ships uint8 —
+        # 4x less H2D than f32); float batches pass through. With
+        # preprocess='detectron2' the caffe-BGR mean-sub transform
+        # (torch_convert.detectron2_preprocess) also runs on-device —
+        # REQUIRED for converted Detectron2 checkpoints.
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        if getattr(det, "preprocess", "unit") == "detectron2":
+            mean = jnp.asarray([103.530, 116.280, 123.675], jnp.float32)
+            images = images[..., ::-1] * 255.0 - mean
+        return images
+
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         try:
@@ -69,11 +82,11 @@ def build_detector_fns(cfg: Config,
         # constants (unvarying) and becomes data-varying — sound here,
         # since no cross-shard collectives exist in the detector
         jana = jax.jit(shard_map(
-            lambda p, im: ana.apply(p, im, method="extract"),
+            lambda p, im: ana.apply(p, as_float(im), method="extract"),
             mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
             check_vma=False))
         jdis = jax.jit(shard_map(
-            lambda p, im: dis.apply(p, im, method="detect",
+            lambda p, im: dis.apply(p, as_float(im), method="detect",
                                     max_out=n_nodes),
             mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
             check_vma=False))
@@ -92,11 +105,11 @@ def build_detector_fns(cfg: Config,
 
     @jax.jit
     def ana_apply(images):
-        return ana.apply(ana_params, images, method="extract")
+        return ana.apply(ana_params, as_float(images), method="extract")
 
     @jax.jit
     def dis_apply(images):
-        return dis.apply(dis_params, images, method="detect",
+        return dis.apply(dis_params, as_float(images), method="detect",
                          max_out=n_nodes)
 
     return ana_apply, dis_apply
@@ -114,7 +127,9 @@ def png_batches(image_dir: str, image_size: int, batch_size: int
         img = Image.open(os.path.join(image_dir, f)).convert("RGB")
         if img.size != (image_size, image_size):
             img = img.resize((image_size, image_size))
-        batch.append(np.asarray(img, np.float32) / 255.0)
+        # ship uint8: 4x less host->device traffic than f32; the
+        # jitted apply normalizes on-device (build_detector_fns)
+        batch.append(np.asarray(img, np.uint8))
         if len(batch) == batch_size:
             yield np.stack(batch)
             batch = []
@@ -151,6 +166,10 @@ def main(argv=None):
                    help="backbone norm; use frozen_bn (+--stride_in_1x1)"
                         " for converted Detectron2 checkpoints")
     p.add_argument("--stride_in_1x1", action="store_true")
+    p.add_argument("--preprocess", default=None,
+                   choices=["unit", "detectron2"],
+                   help="on-device input normalization; detectron2 = "
+                        "caffe-BGR mean-sub for converted checkpoints")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel extraction over N devices "
                         "(0 = single device)")
@@ -166,6 +185,8 @@ def main(argv=None):
         det = det.replace(norm=a.norm)
     if a.stride_in_1x1:
         det = det.replace(stride_in_1x1=True)
+    if a.preprocess:
+        det = det.replace(preprocess=a.preprocess)
     cfg = cfg.replace(detector=det)
 
     ana_params = dis_params = None

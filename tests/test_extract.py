@@ -161,3 +161,48 @@ def test_build_detector_fns_honors_norm_config(monkeypatch):
         norm="frozen_bn", stride_in_1x1=True, image_size=64))
     runner.build_detector_fns(cfg)
     assert seen == [("frozen_bn", True), ("frozen_bn", True)]
+
+
+def test_runner_on_device_preprocess_matches_helper():
+    """uint8 batches + preprocess='detectron2' must reproduce
+    torch_convert.detectron2_preprocess exactly (on-device caffe-BGR
+    mean-sub for converted checkpoints), and uint8 must equal the f32
+    path under 'unit'."""
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.extract import runner
+    from ekaid_tpu.tools.torch_convert import detectron2_preprocess
+
+    cfg = default_config()
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    f01 = u8.astype(np.float32) / 255.0
+
+    class FakeRCNN:
+        def __init__(self, det, num_classes, norm="gn",
+                     stride_in_1x1=False, policy=None):
+            self.k = num_classes
+
+        def init(self, *a, **k):
+            return {}
+
+        def apply(self, params, images, method=None, **kw):
+            return {"images": images}        # echo back, jit-safe
+
+    import unittest.mock as mock
+    for pre in ["unit", "detectron2"]:
+        c = cfg.replace(detector=cfg.detector.replace(
+            image_size=8, preprocess=pre))
+        with mock.patch.object(runner, "FasterRCNN", FakeRCNN):
+            ana_apply, _ = runner.build_detector_fns(c)
+        got_u8 = np.asarray(ana_apply(jnp.asarray(u8))["images"])
+        got_f = np.asarray(ana_apply(jnp.asarray(f01))["images"])
+        np.testing.assert_allclose(got_u8, got_f, rtol=1e-5, atol=1e-5)
+        if pre == "detectron2":
+            want = detectron2_preprocess(f01)
+            np.testing.assert_allclose(got_u8, want, rtol=1e-4,
+                                       atol=1e-3)
+        else:
+            np.testing.assert_allclose(got_u8, f01, rtol=1e-6,
+                                       atol=1e-6)
