@@ -3,9 +3,11 @@
 Detectron2-parity semantics (the backbone config the reference builds,
 train_anatomy.py:562): shared 3×3 conv head with per-anchor objectness
 logit and 4 deltas; at inference, per-level top-k by objectness
-(pre_nms_topk), decode + clip, joint NMS at 0.7 to post_nms_topk
-proposals — all with static shapes and a validity mask instead of
-variable-length lists.
+(pre_nms_topk), decode + clip, LEVEL-AWARE NMS at 0.7 (Detectron2's
+find_top_rpn_proposals passes level ids to batched_nms, so proposals
+from different pyramid levels never suppress each other) to
+post_nms_topk proposals — all with static shapes and a validity mask
+instead of variable-length lists.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ from flax import linen as nn
 
 from ekaid_tpu.models.detector.anchors import (clip_boxes, decode_boxes,
                                                encode_boxes)
-from ekaid_tpu.ops.nms import box_iou, nms
+from ekaid_tpu.ops.nms import batched_nms, box_iou, nms
 from ekaid_tpu.utils.dtypes import Policy, F32
 
 
@@ -62,22 +64,28 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
     """
     def per_image(args):
         lgs, dls = args
-        lvl_boxes, lvl_scores = [], []
-        for lg, dl, an in zip(lgs, dls, anchors):
+        lvl_boxes, lvl_scores, lvl_ids = [], [], []
+        for li, (lg, dl, an) in enumerate(zip(lgs, dls, anchors)):
             k = min(pre_nms_topk, lg.shape[0])
             sc, idx = jax.lax.top_k(lg, k)
             box = decode_boxes(dl[idx], an[idx])
             box = clip_boxes(box, image_size)
             lvl_boxes.append(box)
             lvl_scores.append(sc)
+            lvl_ids.append(jnp.full((k,), li, jnp.int32))
         boxes = jnp.concatenate(lvl_boxes, 0)
         scores = jnp.concatenate(lvl_scores, 0)
+        ids = jnp.concatenate(lvl_ids, 0)
         if min_size > 0:
             w = boxes[:, 2] - boxes[:, 0]
             h = boxes[:, 3] - boxes[:, 1]
             scores = jnp.where((w >= min_size) & (h >= min_size), scores,
                                -1e9)
-        keep, valid = nms(boxes, scores, nms_thresh, post_nms_topk)
+        # LEVEL-AWARE NMS (Detectron2 find_top_rpn_proposals passes
+        # level ids to batched_nms): proposals from different pyramid
+        # levels never suppress each other
+        keep, valid = batched_nms(boxes, scores, ids, nms_thresh,
+                                  post_nms_topk)
         return boxes[keep], scores[keep], valid
 
     return jax.vmap(lambda lg, dl: per_image((lg, dl)))(

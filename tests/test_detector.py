@@ -155,3 +155,21 @@ def test_detector_trainer_finetune_roundtrip(tmp_path):
                           norm="frozen_bn", stride_in_1x1=True)
     restored = ckptr.restore(str(out), tr2.params)
     chex.assert_trees_all_equal(restored, tr.params)
+
+
+def test_rpn_nms_is_level_aware():
+    """Detectron2's find_top_rpn_proposals passes level ids to
+    batched_nms: identical boxes from DIFFERENT pyramid levels must
+    both survive; within a level the duplicate is suppressed."""
+    import jax.numpy as jnp
+    from ekaid_tpu.models.detector.rpn import generate_proposals
+
+    # two levels, one anchor each, identical decoded box (zero deltas)
+    anchors = [jnp.asarray([[10.0, 10.0, 50.0, 50.0]]),
+               jnp.asarray([[10.0, 10.0, 50.0, 50.0]])]
+    logits = [jnp.asarray([[2.0]]), jnp.asarray([[1.0]])]
+    deltas = [jnp.zeros((1, 1, 4)), jnp.zeros((1, 1, 4))]
+    boxes, scores, valid = generate_proposals(
+        logits, deltas, anchors, image_size=64,
+        pre_nms_topk=1, post_nms_topk=4, nms_thresh=0.5)
+    assert int(valid.sum()) == 2        # joint NMS would keep only 1
