@@ -246,6 +246,12 @@ class DetectorConfig:
     # pixel_mean; REQUIRED with converted Detectron2 checkpoints —
     # see tools/torch_convert.py::detectron2_preprocess)
     preprocess: str = "unit"
+    # caffe normalization constants for preprocess='detectron2';
+    # defaults are the zoo R50-FPN buffers — override with the
+    # CONVERTED CHECKPOINT'S OWN pixel_mean/pixel_std when they differ
+    # (torch_convert.convert_detector_checkpoint reports them)
+    pixel_mean: tuple = (103.530, 116.280, 123.675)
+    pixel_std: tuple = (1.0, 1.0, 1.0)
     # ROIAlign backend for the batched inference path: 'pallas'
     # (patch-DMA kernel, ops/pallas_roi.py — 2.0x the XLA gather on
     # v5e), 'xla' (differentiable gather), or 'auto' (pallas on TPU,

@@ -66,8 +66,9 @@ def build_detector_fns(cfg: Config,
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         if getattr(det, "preprocess", "unit") == "detectron2":
-            mean = jnp.asarray([103.530, 116.280, 123.675], jnp.float32)
-            images = images[..., ::-1] * 255.0 - mean
+            mean = jnp.asarray(det.pixel_mean, jnp.float32)
+            std = jnp.asarray(det.pixel_std, jnp.float32)
+            images = (images[..., ::-1] * 255.0 - mean) / std
         return images
 
     if mesh is not None:
@@ -75,8 +76,21 @@ def build_detector_fns(cfg: Config,
         try:
             from jax import shard_map            # jax >= 0.8
         except ImportError:                      # pragma: no cover
-            from jax.experimental.shard_map import shard_map
+            from functools import partial as _partial
+            from jax.experimental.shard_map import \
+                shard_map as _legacy_shard_map
+
+            def shard_map(f, *, check_vma=True, **kw):
+                # the legacy API spells the flag check_rep
+                return _legacy_shard_map(f, check_rep=check_vma, **kw)
         ndata = mesh.shape["data"]
+        # replicate the weight trees onto the mesh ONCE — passing
+        # single-device arrays would re-broadcast the full detector
+        # params on every batch
+        from jax.sharding import NamedSharding
+        rep = NamedSharding(mesh, P())
+        ana_params = jax.device_put(ana_params, rep)
+        dis_params = jax.device_put(dis_params, rep)
 
         # check_vma off: the NMS while_loop carry starts from literal
         # constants (unvarying) and becomes data-varying — sound here,
@@ -207,8 +221,10 @@ def main(argv=None):
         mesh = make_mesh(data=a.dp, model=1,
                          devices=jax.devices()[:a.dp])
         if det.extract_batch_size % a.dp:
-            det = det.replace(extract_batch_size=max(
-                a.dp, det.extract_batch_size // a.dp * a.dp))
+            nb = max(a.dp, det.extract_batch_size // a.dp * a.dp)
+            print(f"note: batch_size {det.extract_batch_size} -> {nb} "
+                  f"to divide --dp {a.dp}")
+            det = det.replace(extract_batch_size=nb)
             cfg = cfg.replace(detector=det)
     ana_apply, dis_apply = build_detector_fns(cfg, ana_params, dis_params,
                                               mesh=mesh)

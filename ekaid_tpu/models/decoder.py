@@ -319,6 +319,10 @@ class DynamicSpeaker(nn.Module):
         Returns seq [B, T] int32 (0-terminated), logprobs [B, T] and
         module_weights [B, T, 3] (the per-step bef/diff/aft attention —
         the quantity draw_by_asking_question.py visualizes).
+        module_weights rows are zeroed where seq == 0 (post-EOS): the
+        while_loop path never computes them past the batch's last
+        emission, so masking both paths keeps early_exit output-
+        identical to the scan.
         """
         c = self.cfg
         B, T = feat_bef.shape[0], c.seq_length
@@ -406,6 +410,8 @@ class DynamicSpeaker(nn.Module):
             seq = jnp.swapaxes(seq, 0, 1)
             lps = jnp.swapaxes(lps, 0, 1)
             mws = jnp.swapaxes(mws, 0, 1)                # [B, T, 3]
+        # post-EOS weight rows -> 0 in BOTH paths (see docstring)
+        mws = mws * (seq > 0)[..., None].astype(mws.dtype)
         return {"seq": seq, "logprobs": lps, "module_weights": mws}
 
     def sample_beam(self, feat_bef, feat_aft, feat_diff,

@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from ekaid_tpu.models.detector.anchors import (clip_boxes, decode_boxes,
                                                encode_boxes)
-from ekaid_tpu.ops.nms import batched_nms, box_iou, nms
+from ekaid_tpu.ops.nms import batched_nms, box_iou
 from ekaid_tpu.utils.dtypes import Policy, F32
 
 

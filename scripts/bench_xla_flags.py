@@ -58,7 +58,6 @@ def main():
     import jax
     jax.config.update("jax_enable_compilation_cache", False)
 
-    import jax
     import jax.numpy as jnp
     from ekaid_tpu.config import default_config
     from ekaid_tpu.data.synthetic import synthetic_batch
@@ -85,6 +84,10 @@ def main():
                            sample_max=True)["seq"]
 
     names = (a.only.split(",") if a.only else list(CANDIDATES))
+    bad = [n for n in names if n not in CANDIDATES]
+    if bad:
+        sys.exit(f"unknown candidate(s) {bad}; "
+                 f"choose from {list(CANDIDATES)}")
     for name in names:
         opts = CANDIDATES[name]
         try:
