@@ -117,8 +117,11 @@ class QuestionConfig:
     # attention across unrelated samples (verified empirically; at batch=1
     # every weight degenerates to 1.0). That is not reproducible under data
     # parallelism (it leaks across devices), so this rebuild implements the
-    # intended per-sample softmax over tokens. Documented deviation.
-    pass
+    # intended per-sample softmax over tokens by default. Documented
+    # deviation; 'reference' reproduces the transposed-softmax scramble
+    # bit-for-bit (single-device only — used to validate converted
+    # reference checkpoints end-to-end, tests/test_full_convert.py).
+    att_mode: str = "fixed"      # fixed | reference
 
 
 @_frozen

@@ -109,6 +109,7 @@ class ChangeDetector(nn.Module):
     ntoken: int                   # question vocab size (len(word_to_idx))
     graph: str = "all"            # all | semantic | spatial | implicit | i+s
     setting: str = "mode2"        # mode2 = region features, mode0 = pixels
+    question_att: str = "fixed"   # QuestionConfig.att_mode (language.py)
     policy: Policy = F32
 
     def setup(self):
@@ -121,6 +122,7 @@ class ChangeDetector(nn.Module):
                                       policy=self.policy, name="SSRE")
         self.question = QuestionEncoder(
             self.ntoken, hidden_dim=self.speaker_embed_dim,
+            att_mode=self.question_att,
             policy=self.policy, name="question")
 
         common = dict(v_dim=c.att_dim, q_dim=self.speaker_embed_dim,

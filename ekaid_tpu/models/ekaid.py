@@ -42,8 +42,9 @@ class EkaidModel(nn.Module):
         self.change_detector = ChangeDetector(
             c.change_detector, speaker_embed_dim=c.speaker.embed_dim,
             ntoken=self.ntoken, graph=c.train.graph,
-            setting=c.train.setting, policy=self.policy,
-            name="change_detector")
+            setting=c.train.setting,
+            question_att=getattr(c.question, "att_mode", "fixed"),
+            policy=self.policy, name="change_detector")
         self.speaker = DynamicSpeaker(c.speaker, policy=self.policy,
                                       name="speaker")
 

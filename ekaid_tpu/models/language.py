@@ -56,6 +56,13 @@ class WordEmbedding(nn.Module):
 class QuestionSelfAttention(nn.Module):
     num_hid: int
     dropout: float = 0.2
+    # 'fixed' = per-sample softmax over tokens (the documented deviation,
+    # module docstring); 'reference' = the upstream transposed-softmax
+    # batch scramble of language_model.py:149, bit-exact: softmax the
+    # [L, B] transposed score matrix over B, then reinterpret its
+    # row-major bytes as [B, L] (torch's .view on the contiguous softmax
+    # output). Single-device / conversion-validation only.
+    att_mode: str = "fixed"
     policy: Policy = F32
 
     @nn.compact
@@ -67,7 +74,13 @@ class QuestionSelfAttention(nn.Module):
         a1 = jnp.tanh(a1)
         scores = FCNet([self.num_hid, 1], act=None,
                        policy=self.policy)(a1, train=train)[..., 0]  # [B, L]
-        w = jax.nn.softmax(self.policy.cast_softmax(scores), axis=-1)
+        if self.att_mode == "reference":
+            B, L = scores.shape
+            wt = jax.nn.softmax(self.policy.cast_softmax(scores).T,
+                                axis=1)                        # [L, B] over B
+            w = wt.reshape(B, L)          # row-major scramble (.view parity)
+        else:
+            w = jax.nn.softmax(self.policy.cast_softmax(scores), axis=-1)
         pooled = jnp.einsum("bl,blh->bh", self.policy.cast_compute(w),
                             ques_feat)
         return nn.Dropout(self.dropout, deterministic=not train)(pooled)
@@ -82,6 +95,7 @@ class QuestionEncoder(nn.Module):
     hidden_dim: int = 1024
     dropout_word: float = 0.0
     dropout_att: float = 0.2
+    att_mode: str = "fixed"      # see QuestionSelfAttention
     policy: Policy = F32
 
     @nn.compact
@@ -91,4 +105,5 @@ class QuestionEncoder(nn.Module):
                               tokens, train=train)
         seq = GRU(self.hidden_dim, policy=self.policy)(w)   # [B, L, H]
         return QuestionSelfAttention(self.hidden_dim, self.dropout_att,
+                                     att_mode=self.att_mode,
                                      policy=self.policy)(seq, train=train)
