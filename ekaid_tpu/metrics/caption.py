@@ -16,11 +16,14 @@ Semantics follow the COCO caption evaluation definitions:
     reference's jar runs (weighted exact/stem/synonym stages,
     content/function delta weighting, rank-task parameters) over a
     bundled pluggable synonym/function-word resource
-    (metrics/meteor_resources.py). DOCUMENTED DEVIATIONS: the paraphrase
-    module is omitted (60 MB corpus table) and the alignment is staged-
-    greedy rather than the jar's chunk-minimizing search; `meteor_lite`
-    (exact+stem, 2005 parameters) remains as the fast fallback. The
-    lite-vs-1.5 delta is pinned in tests/test_metrics.py.
+    (metrics/meteor_resources.py; `derive_vocab_synonyms` scopes it to
+    an answer vocabulary). The alignment is the jar's own search: beam
+    over partial alignments maximizing covered words, then minimizing
+    chunks, then minimizing summed match-position distance (beam 40).
+    DOCUMENTED DEVIATION: the paraphrase module is omitted (60 MB
+    corpus table); `meteor_lite` (exact+stem, 2005 parameters) remains
+    as the fast fallback. The lite-vs-1.5 delta is pinned in
+    tests/test_metrics.py.
 
 Tokenization mirrors PTBTokenizer's observable behavior on this corpus:
 lowercase, split, drop pure-punctuation tokens.
@@ -297,21 +300,49 @@ def _meteor_align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     return m, chunks
 
 
-def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
-    """Staged greedy one-to-one alignment with per-match stage ids.
+_METEOR_BEAM = 40                     # the jar's partial-alignment beam
+_EMPTY: frozenset = frozenset()
 
-    Stages in METEOR-1.5 module order: 0 exact, 1 stem, 2 synonym.
-    Returns (pairs [(hyp_i, ref_j, stage)], chunks). DOCUMENTED
-    APPROXIMATION: the jar searches alignments maximizing coverage then
-    minimizing chunks; the staged greedy here matches its coverage on
-    this corpus's short answers but can differ in chunk count on
-    adversarial orderings.
+
+def _meteor_candidates(hyp, ref, syn_idx):
+    """Per-hyp-index candidate matches [(ref_j, stage)], stage = first
+    matching module in METEOR order (0 exact, 1 stem, 2 synonym) — the
+    highest-weight module for that pair, as the jar keeps."""
+    hs = [_STEM(h) for h in hyp]
+    rs = [_STEM(r) for r in ref]
+    cands = []
+    for i, h in enumerate(hyp):
+        row = []
+        hsyn = syn_idx.get(h, _EMPTY) if syn_idx else _EMPTY
+        for j, r in enumerate(ref):
+            if h == r:
+                row.append((j, 0))
+            elif hs[i] == rs[j]:
+                row.append((j, 1))
+            elif hsyn and hsyn & syn_idx.get(r, _EMPTY):
+                row.append((j, 2))
+        cands.append(row)
+    return cands
+
+
+def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
+    """One-to-one alignment by the jar's search (Meteor-1.5 Aligner
+    resolution criteria, in priority order: maximize covered words,
+    minimize chunk count, minimize the sum of absolute match-position
+    distances), via the jar's own beam search over partial alignments
+    (beam 40). Stages in module order: 0 exact, 1 stem, 2 synonym.
+    Returns (pairs [(hyp_i, ref_j, stage)], chunks).
+
+    The omitted paraphrase module is the one remaining jar deviation
+    (its table is a 60 MB corpus artifact); with word-level modules only
+    every match is 1-1, which this search requires.
     """
     nat = _native()
     if nat is not None and all(
             len(syn_idx.get(w, ())) <= 1 for w in hyp + ref):
-        # C++ kernel (native/caption.cpp); valid when every word maps to
-        # at most one synset (true for the bundled table)
+        # C++ kernel (native/caption.cpp, same beam search); valid when
+        # every word maps to at most one synset (true for the bundled
+        # and vocab-derived tables)
         import numpy as np
         ids: Dict[str, int] = {}
 
@@ -334,36 +365,26 @@ def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
                      for i in range(len(hyp)) if align_arr[i] >= 0]
             return pairs, chunks
 
-    ref_used = [False] * len(ref)
-    align = [(-1, -1)] * len(hyp)     # (ref_j, stage)
-
-    def try_stage(stage, eq):
-        for i, h in enumerate(hyp):
-            if align[i][0] >= 0:
-                continue
-            for j, r in enumerate(ref):
-                if not ref_used[j] and eq(h, r):
-                    align[i] = (j, stage)
-                    ref_used[j] = True
-                    break
-
-    try_stage(0, lambda h, r: h == r)
-    try_stage(1, lambda h, r: _STEM(h) == _STEM(r))
-    if syn_idx:
-        def syn_eq(h, r):
-            return bool(syn_idx.get(h, set()) & syn_idx.get(r, set()))
-        try_stage(2, syn_eq)
-    pairs = [(i, j, s) for i, (j, s) in enumerate(align) if j >= 0]
-    # a chunk requires adjacency in BOTH strings (METEOR definition):
-    # matched pairs whose hyp indices skip an unmatched word start a
-    # new chunk even if their ref indices are consecutive
-    chunks = 0
-    prev_i = prev_j = None
-    for i, j, s in pairs:
-        if prev_i is None or i != prev_i + 1 or j != prev_j + 1:
-            chunks += 1
-        prev_i, prev_j = i, j
-    return pairs, chunks
+    cands = _meteor_candidates(hyp, ref, syn_idx)
+    # state: (matches, chunks, dist, prev_i, prev_j, used_mask, pairs)
+    states = [(0, 0, 0, -2, -2, 0, ())]
+    for i, row in enumerate(cands):
+        nxt = []
+        for st in states:
+            m, ch, dist, pi, pj, used, pairs = st
+            nxt.append(st)                       # leave hyp[i] unmatched
+            for j, stage in row:
+                if used >> j & 1:
+                    continue
+                contiguous = (pi == i - 1) and (pj == j - 1)
+                nxt.append((m + 1, ch + (0 if contiguous else 1),
+                            dist + abs(i - j), i, j, used | (1 << j),
+                            pairs + ((i, j, stage),)))
+        # keep the beam's best by the resolution criteria
+        nxt.sort(key=lambda s: (-s[0], s[1], s[2]))
+        states = nxt[:_METEOR_BEAM]
+    best = states[0]
+    return list(best[6]), best[1]
 
 
 def meteor15(gts, res, alpha: float = 0.85, beta: float = 0.2,

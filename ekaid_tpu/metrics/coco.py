@@ -51,12 +51,22 @@ class CaptionEvaluator:
     METRICS = ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR",
                "ROUGE_L", "CIDEr")
 
-    def __init__(self, coco: CocoCaptions, coco_res: CocoCaptions):
+    def __init__(self, coco: CocoCaptions, coco_res: CocoCaptions,
+                 vocab=None):
+        """vocab: optional answer-vocabulary iterable (e.g. the shipped
+        vocab_mimic_VQA.json keys); when given, the METEOR synonym table
+        is auto-derived for it (meteor_resources.derive_vocab_synonyms)
+        instead of using the general bundled table."""
         self.coco = coco
         self.coco_res = coco_res
         self.params = {"image_id": coco_res.get_img_ids()}
         self.eval: Dict[str, float] = {}
         self.img_to_eval: Dict[str, Dict[str, float]] = {}
+        self.synonyms = None
+        if vocab is not None:
+            from ekaid_tpu.metrics.meteor_resources import \
+                derive_vocab_synonyms
+            self.synonyms = derive_vocab_synonyms(vocab)
 
     def evaluate(self, verbose: bool = False) -> Dict[str, float]:
         img_ids = [str(i) for i in self.params["image_id"]]
@@ -69,7 +79,8 @@ class CaptionEvaluator:
         for k in range(4):
             self._set(f"Bleu_{k + 1}", bleu_scores[k],
                       {i: s[k] for i, s in bleu_img.items()})
-        m, m_img = meteor15(gts, res)      # METEOR-1.5 scoring
+        m, m_img = meteor15(gts, res,      # METEOR-1.5 scoring
+                            synonyms=self.synonyms)
         self._set("METEOR", m, m_img)
         r, r_img = rouge_l(gts, res)
         self._set("ROUGE_L", r, r_img)

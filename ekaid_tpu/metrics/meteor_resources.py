@@ -64,9 +64,7 @@ SYNONYMS = [
     # medical / radiology domain (WordNet noun synsets)
     {"disease", "illness", "sickness", "malady", "unwellness"},
     {"abnormality", "abnormalcy"},
-    {"lung", "lungs"},
     {"heart", "pump", "ticker"},
-    {"rib", "ribs"},
     {"chest", "thorax", "pectus"},
     {"bone", "os"},
     {"fluid", "liquid"},
@@ -91,6 +89,8 @@ SYNONYMS = [
     {"absent", "missing"},
     {"yes", "yeah"},
     {"no", "nope"},
+    # adverbs (WordNet besides.r.02)
+    {"also", "besides", "too", "likewise"},
 ]
 
 
@@ -102,3 +102,23 @@ def synonym_index(synsets=None):
         for w in syn:
             idx.setdefault(w, set()).add(sid)
     return idx
+
+
+def derive_vocab_synonyms(vocab_words, base=None):
+    """Scope the synset table to an answer vocabulary.
+
+    The jar loads full WordNet and lets any pair of words share a
+    synset; for a closed answer vocabulary only synsets with >= 2
+    members INSIDE the vocabulary can ever fire (both sides of every
+    alignment are drawn from it). This derives that exact table:
+    intersect each base synset with the vocab, drop singletons. On the
+    reference's shipped 147-word vocab (model/data/vocab_mimic_VQA.json)
+    the live WordNet-3.0 synsets are {area, region} (region.n.03) and
+    {also, too} (besides.r.02) — pinned in tests/test_metrics.py.
+
+    `vocab_words` may be the vocab dict/list from the reference's
+    vocab json or any iterable of words."""
+    base = SYNONYMS if base is None else base
+    vw = set(vocab_words)
+    scoped = [s & vw for s in base]
+    return [s for s in scoped if len(s) >= 2]

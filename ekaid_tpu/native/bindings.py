@@ -175,11 +175,12 @@ def bleu_counts(cand: np.ndarray, refs, max_n: int = 4):
 
 def meteor_align(hyp_ids, hyp_stem, hyp_syn, ref_ids, ref_stem,
                  ref_syn):
-    """Staged greedy METEOR alignment. syn ids: -1 = no synset; valid
-    only when each word belongs to at most one synset (the bundled
-    table — callers must fall back to Python otherwise). Returns
-    (align [nh] int32 ref-index-or--1, stage [nh] int32 0/1/2-or--1,
-    chunks int) or None when the native lib is unavailable."""
+    """METEOR-1.5 Aligner beam search (native/caption.cpp). syn ids:
+    -1 = no synset; valid only when each word belongs to at most one
+    synset (the bundled/vocab-derived tables — callers must fall back
+    to Python otherwise). Returns (align [nh] int32 ref-index-or--1,
+    stage [nh] int32 0/1/2-or--1, chunks int) or None when the native
+    lib is unavailable or the reference exceeds the 64-word bitmask."""
     lib = _lib()
     if lib is None:
         return None
@@ -193,4 +194,6 @@ def meteor_align(hyp_ids, hyp_stem, hyp_syn, ref_ids, ref_stem,
     stage = np.zeros(len(h), np.int32)
     chunks = lib.meteor_align(h, hs, hy, len(h), r, rs, ry, len(r),
                               align, stage)
+    if chunks < 0:            # nr > 64: kernel declined, use Python
+        return None
     return align, stage, int(chunks)

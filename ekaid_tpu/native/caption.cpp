@@ -10,9 +10,10 @@
 //   * bleu_counts    — clipped n-gram match/total counts per segment
 //                      (n-grams packed into 64-bit keys, vocab < 2^16;
 //                      counting via sorted vectors, no hashing).
-//   * meteor_align   — the staged greedy METEOR alignment (exact ids,
-//                      stem ids, synset ids) returning matches, chunks
-//                      and per-stage match counts.
+//   * meteor_align   — the METEOR-1.5 Aligner beam search (exact ids,
+//                      stem ids, synset ids): maximize covered words,
+//                      then minimize chunks, then minimize summed
+//                      match-position distance; beam 40 like the jar.
 //
 // Tokens arrive as int32 ids (Python owns the string→id mapping);
 // unit tests assert bit-equality against the Python implementations.
@@ -107,51 +108,80 @@ void bleu_counts(const int32_t* cand, int64_t nc,
   }
 }
 
-// Staged greedy METEOR alignment (metrics/caption.py::_meteor15_align
+// METEOR-1.5 Aligner beam search (metrics/caption.py::_meteor15_align
 // parity). hyp_syn/ref_syn: synset id per token (-1 = none; a single
-// representative synset id is enough for the bundled disjoint table).
+// representative synset id is enough for disjoint tables — the Python
+// wrapper gates on that). Resolution criteria, in priority order:
+// maximize covered words; minimize chunk count (adjacency required in
+// BOTH strings); minimize sum |i - j| of match positions. Beam width
+// 40 over hyp positions, like the jar's partial-alignment search.
 // Writes out_align[i] = matched ref index or -1 and out_stage[i] =
 // matching stage (0 exact / 1 stem / 2 synonym) or -1; returns the
-// chunk count.
+// chunk count of the selected alignment. Requires nr <= 64 (bitmask);
+// falls back to -1 chunks (caller uses Python path) beyond that.
 int64_t meteor_align(const int32_t* hyp, const int32_t* hyp_stem,
                      const int32_t* hyp_syn, int64_t nh,
                      const int32_t* ref, const int32_t* ref_stem,
                      const int32_t* ref_syn, int64_t nr,
                      int32_t* out_align, int32_t* out_stage) {
-  std::vector<int8_t> used(nr, 0);
   for (int64_t i = 0; i < nh; ++i) {
     out_align[i] = -1;
     out_stage[i] = -1;
   }
-  for (int s = 0; s < 3; ++s) {
-    const int32_t* h = s == 0 ? hyp : (s == 1 ? hyp_stem : hyp_syn);
-    const int32_t* r = s == 0 ? ref : (s == 1 ? ref_stem : ref_syn);
-    for (int64_t i = 0; i < nh; ++i) {
-      if (out_align[i] >= 0) continue;
-      if (s == 2 && h[i] < 0) continue;
+  if (nr > 64) return -1;  // caller falls back to the Python search
+
+  struct State {
+    int32_t matches, chunks, dist;
+    int32_t prev_i, prev_j;
+    uint64_t used;
+    std::vector<int32_t> pair_j;      // per-hyp ref index (-1 = none)
+    std::vector<int32_t> pair_s;      // per-hyp stage
+  };
+  const size_t kBeam = 40;
+  std::vector<State> states(1);
+  states[0] = {0, 0, 0, -2, -2, 0ull,
+               std::vector<int32_t>(nh, -1), std::vector<int32_t>(nh, -1)};
+
+  std::vector<State> nxt;
+  for (int64_t i = 0; i < nh; ++i) {
+    nxt.clear();
+    for (const State& st : states) {
+      nxt.push_back(st);               // leave hyp[i] unmatched
       for (int64_t j = 0; j < nr; ++j) {
-        if (!used[j]) {
-          bool eq = (s == 2) ? (r[j] >= 0 && h[i] == r[j])
-                             : (h[i] == r[j]);
-          if (eq) {
-            out_align[i] = static_cast<int32_t>(j);
-            out_stage[i] = s;
-            used[j] = 1;
-            break;
-          }
-        }
+        if (st.used >> j & 1) continue;
+        int stage;
+        if (hyp[i] == ref[j]) stage = 0;
+        else if (hyp_stem[i] == ref_stem[j]) stage = 1;
+        else if (hyp_syn[i] >= 0 && hyp_syn[i] == ref_syn[j]) stage = 2;
+        else continue;
+        State ns = st;
+        bool contiguous = (st.prev_i == i - 1) && (st.prev_j == j - 1);
+        ns.matches += 1;
+        ns.chunks += contiguous ? 0 : 1;
+        ns.dist += static_cast<int32_t>(i > j ? i - j : j - i);
+        ns.prev_i = static_cast<int32_t>(i);
+        ns.prev_j = static_cast<int32_t>(j);
+        ns.used |= 1ull << j;
+        ns.pair_j[i] = static_cast<int32_t>(j);
+        ns.pair_s[i] = stage;
+        nxt.push_back(std::move(ns));
       }
     }
+    std::stable_sort(nxt.begin(), nxt.end(),
+                     [](const State& a, const State& b) {
+                       if (a.matches != b.matches) return a.matches > b.matches;
+                       if (a.chunks != b.chunks) return a.chunks < b.chunks;
+                       return a.dist < b.dist;
+                     });
+    if (nxt.size() > kBeam) nxt.resize(kBeam);
+    states.swap(nxt);
   }
-  // a chunk requires adjacency in BOTH strings (METEOR definition)
-  int64_t chunks = 0, prev_i = -2, prev_j = -2;
+  const State& best = states.front();
   for (int64_t i = 0; i < nh; ++i) {
-    if (out_align[i] < 0) continue;
-    if (i != prev_i + 1 || out_align[i] != prev_j + 1) ++chunks;
-    prev_i = i;
-    prev_j = out_align[i];
+    out_align[i] = best.pair_j[i];
+    out_stage[i] = best.pair_s[i];
   }
-  return chunks;
+  return best.chunks;
 }
 
 }  // extern "C"

@@ -229,3 +229,77 @@ def test_proposal_recall():
     out = proposal_recall(props, scores, valid, gt, gt_valid,
                           limits=(1,))
     np.testing.assert_allclose(out["AR@1"], 10 / 20, atol=1e-6)
+
+
+def test_meteor15_alignment_is_chunk_minimizing():
+    """The jar's Aligner criteria (maximize matches, then minimize
+    chunks): a staged-greedy left-to-right aligner picks ref[0] for
+    'cat' here (2 chunks); the beam search must find the contiguous
+    alignment (1 chunk)."""
+    from ekaid_tpu.metrics.caption import _meteor15_align
+
+    pairs, chunks = _meteor15_align(["the", "cat"],
+                                    ["cat", "the", "cat"], {})
+    assert len(pairs) == 2
+    assert chunks == 1
+    assert [(i, j) for i, j, s in pairs] == [(0, 1), (1, 2)]
+
+
+def test_meteor15_alignment_distance_tiebreak():
+    """Equal matches and chunks -> minimize summed |i - j| (criterion 4):
+    'a' at hyp[0] must take ref[0], not ref[2]."""
+    from ekaid_tpu.metrics.caption import _meteor15_align
+
+    pairs, chunks = _meteor15_align(["a"], ["a", "b", "a"], {})
+    assert pairs == [(0, 0, 0)]
+
+
+def test_meteor15_native_matches_python_beam():
+    """C++ beam search (native/caption.cpp) must agree with the Python
+    search on randomized corpora, including repeated words where greedy
+    and search diverge."""
+    import random
+
+    from ekaid_tpu.metrics import caption as cap
+    from ekaid_tpu.native import bindings
+
+    if bindings._lib() is None:
+        pytest.skip("native lib unavailable")
+
+    rng = random.Random(7)
+    words = ["a", "b", "c", "d", "cats", "cat", "dog", "the"]
+    for _ in range(200):
+        hyp = [rng.choice(words) for _ in range(rng.randint(1, 9))]
+        ref = [rng.choice(words) for _ in range(rng.randint(1, 9))]
+        # call once through the normal path (native) and once with the
+        # native lib masked (python)
+        n_pairs, n_chunks = cap._meteor15_align(hyp, ref, {})
+        old = cap._native
+        cap._native = lambda: None
+        try:
+            p_pairs, p_chunks = cap._meteor15_align(hyp, ref, {})
+        finally:
+            cap._native = old
+        assert n_chunks == p_chunks, (hyp, ref)
+        assert len(n_pairs) == len(p_pairs), (hyp, ref)
+
+
+def test_derive_vocab_synonyms_reference_vocab():
+    """Auto-derived synonym table for the reference's shipped 147-word
+    answer vocab: exactly the in-vocabulary WordNet-3.0 synset
+    {area, region} (region.n.03) — the only base synset with two
+    members inside the vocab. Plural pairs (lung/lungs, base/bases) are
+    NOT synsets; the stem module matches them at higher weight, exactly
+    as the jar would."""
+    import json
+    import os
+
+    from ekaid_tpu.metrics.meteor_resources import derive_vocab_synonyms
+
+    path = "/root/reference/model/data/vocab_mimic_VQA.json"
+    if not os.path.exists(path):
+        pytest.skip("reference vocab not present")
+    vocab = json.load(open(path))
+    derived = derive_vocab_synonyms(vocab)
+    assert sorted(tuple(sorted(s)) for s in derived) == [
+        ("area", "region")]
