@@ -36,6 +36,11 @@ def build_detector_fns(cfg: Config,
     pallas ROIAlign requires shard_map — a tpu_custom_call does not
     auto-partition under plain GSPMD jit."""
     det = cfg.detector
+    # resolve roi_backend='auto' here, once, against the live platform
+    # (ADVICE r2: never inside module setup) — pallas on TPU, xla
+    # elsewhere
+    from ekaid_tpu.utils.platform import resolve_roi_backend
+    det = det.replace(roi_backend=resolve_roi_backend(det.roi_backend))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     ana = FasterRCNN(det, num_classes=det.num_anatomy_classes,
                      norm=det.norm, stride_in_1x1=det.stride_in_1x1,

@@ -42,10 +42,17 @@ class FasterRCNN(nn.Module):
                                   stride_in_1x1=self.stride_in_1x1,
                                   policy=self.policy, name="backbone")
         self.rpn = RPNHead(policy=self.policy, name="rpn")
+        # 'auto' is resolved ONCE at the config/runner layer
+        # (utils/platform.py::resolve_roi_backend, called by
+        # extract/runner.py::build_detector_fns) — a device query here
+        # would fire at every model build (wedged-chip hang risk, see
+        # memory: axon-tpu-quirks) and bake the trace-time platform into
+        # the module, breaking cross-platform AOT lowering. A module
+        # built directly with 'auto' (tests, converters) gets the
+        # platform-agnostic XLA gather.
         backend = getattr(self.cfg, "roi_backend", "auto")
         if backend == "auto":
-            backend = ("pallas"
-                       if jax.devices()[0].platform == "tpu" else "xla")
+            backend = "xla"
         self.box_head = BoxHead(self.num_classes,
                                 fc_dim=self.cfg.roi_feat_dim,
                                 pool_size=self.cfg.roi_pool_size,

@@ -242,6 +242,17 @@ def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
     heights = tuple(int(f.shape[1]) for f in fmaps)
     for f in fmaps:
         assert f.shape[1] == f.shape[2], "level maps must be square"
+    for h in heights:
+        # the x-start align-down below (xs = floor(clip(...)/8)*8)
+        # preserves the right-edge guarantee only when W - PATCH_X is a
+        # multiple of the 8-wide sublane tile; otherwise right-edge-
+        # clamped samples would read outside the loaded patch and pool
+        # zeros SILENTLY (ADVICE r2). True for power-of-two-ish FPN maps
+        # (200/72/8); reject odd geometries toward the XLA backend.
+        assert (h - min(PATCH_X, h)) % 8 == 0, (
+            f"level width {h}: W - PATCH_X must be 8-aligned for the "
+            "pallas roi backend — use roi_backend='xla' for this "
+            "geometry")
     C = fmaps[0].shape[-1]
     dt = fmaps[0].dtype
     # f32 patches double the scratch: halve GROUP to stay in VMEM
@@ -263,11 +274,14 @@ def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
     lvl_idx = levels - min_level
 
     # Elongated-ROI fit bump (DOCUMENTED DEVIATION, docs/PARITY.md):
-    # assign_levels bounds sqrt(w*h) only, so a high-aspect box (e.g.
-    # 1000x50, aspect > ~3) can span more pixels at its assigned level
-    # than the fixed patch holds — which would silently zero the
-    # overflowed columns. Such ROIs are bumped to the first coarser
-    # level whose (halving) scale fits their longer side in the patch.
+    # assign_levels bounds sqrt(w*h) only, so a box whose LONG SIDE at
+    # its assigned level exceeds the 44 px cap can span more pixels
+    # there than the fixed patch holds — which would silently zero the
+    # overflowed columns. (The trigger is the 44 px cap itself, not an
+    # aspect threshold: near the top of a level's size band it fires
+    # from aspect ~2.5; mid-band only above ~3.) Such ROIs are bumped
+    # to the first coarser level whose (halving) scale fits their
+    # longer side in the patch.
     # At the top level the whole map fits inside the patch (asserted
     # below), so every ROI fits by construction; clamped samples there
     # are handled exactly by the hat weights.

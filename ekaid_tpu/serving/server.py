@@ -15,6 +15,12 @@ decode path (no replication), one compile at startup:
 
 Free-form questions tokenize through the same vocabulary as training
 (question2id parity, demo_server.py:66: unknown words drop out).
+
+Concurrency: requests from concurrent clients are micro-batch-coalesced
+into one padded batched decode by `CoalescingEngine` (default; see its
+docstring) — the chip's decode throughput is strongly batch-dependent,
+so N clients cost ~one batched invocation instead of N serialized
+batch-1 invocations.
 """
 
 from __future__ import annotations
@@ -62,8 +68,10 @@ class InferenceEngine:
                                sample_max=True)
 
         self._decode = decode1
-        # warm the compile with the first sample
-        self.answer(None)
+        # warm the compile with the first sample — explicitly the base
+        # path: a subclass override (CoalescingEngine) is not wired up
+        # until after this constructor returns
+        InferenceEngine.answer(self, None)
 
     def _batch_for(self, index: int, question_ids: Optional[np.ndarray]):
         s = self.ds.sample(index)
@@ -124,6 +132,122 @@ class InferenceEngine:
             return f.read()
 
 
+class CoalescingEngine(InferenceEngine):
+    """Micro-batch coalescing for concurrent clients (TPU-first design;
+    no reference counterpart — demo_server.py is single-client).
+
+    The decode program's throughput grows strongly with batch (b1 479 →
+    b128 14,377 pairs/s on-chip, scripts/bench_decode_sweep.py), so
+    serializing concurrent /question requests through the batch-1
+    program wastes the chip. Here handler threads enqueue requests and
+    ONE dispatcher thread folds whatever is queued (up to
+    `coalesce_batch`, lingering `linger_ms` for stragglers) into a
+    single padded batched decode. Single dispatcher = single-flight on
+    the device, which the axon relay requires anyway (memory:
+    axon-tpu-quirks).
+
+    Two compiled programs: the inherited batch-1 (solo requests keep
+    their low latency) and one fixed `coalesce_batch` bucket (queue
+    depth >= 2 pads up to it — static shapes, no recompiles).
+    `stats` counts requests/batches/coalesced for load tests.
+    """
+
+    def __init__(self, trainer, seed: int = 0,
+                 image_dir: Optional[str] = None,
+                 coalesce_batch: int = 16, linger_ms: float = 2.0):
+        import queue
+        import threading
+        super().__init__(trainer, seed=seed, image_dir=image_dir)
+        self.coalesce_batch = int(coalesce_batch)
+        self.linger_s = float(linger_ms) / 1e3
+        model = trainer.model
+
+        @jax.jit
+        def decode_n(params, batch):
+            return model.apply(params, batch, method="decode",
+                               sample_max=True)
+
+        self._decode_n = decode_n
+        # warm/compile the bucket once at startup (cached across runs
+        # by the persistent compile cache)
+        warm = self._stack([(self.index, None)] * self.coalesce_batch)
+        np.asarray(self._decode_n(self.trainer.state.params,
+                                  warm)["seq"])
+        self.stats = {"requests": 0, "batches": 0, "coalesced": 0,
+                      "max_batch": 0}
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._dispatch,
+                                        daemon=True)
+        self._thread.start()
+
+    def _stack(self, items):
+        """items: [(index, qids-or-None)] → padded device batch of size
+        coalesce_batch (pad rows repeat item 0; static shapes)."""
+        rows = []
+        for idx, qids in items:
+            s = self.ds.sample(idx)
+            if qids is not None:
+                s = dict(s)
+                s["question"] = qids.astype(s["question"].dtype)
+            rows.append({k: v for k, v in s.items()
+                         if k != "pair_index"})
+        while len(rows) < self.coalesce_batch:
+            rows.append(rows[0])
+        return {k: jnp.asarray(np.stack([r[k] for r in rows]))
+                for k in rows[0]}
+
+    def _dispatch(self):
+        import queue
+        while True:
+            first = self._q.get()
+            items = [first]
+            deadline = time.time() + self.linger_s
+            while len(items) < self.coalesce_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self.stats["batches"] += 1
+            self.stats["requests"] += len(items)
+            self.stats["coalesced"] += len(items) > 1
+            self.stats["max_batch"] = max(self.stats["max_batch"],
+                                          len(items))
+            try:
+                params = self.trainer.state.params
+                if len(items) == 1:
+                    idx, qids, _ = items[0]
+                    out = self._decode(params, self._batch_for(idx, qids))
+                    seqs = np.asarray(out["seq"])
+                else:
+                    batch = self._stack([(i, q) for i, q, _ in items])
+                    out = self._decode_n(params, batch)
+                    seqs = np.asarray(out["seq"])
+                for k, (idx, qids, fut) in enumerate(items):
+                    fut.set_result((seqs[k], idx, qids))
+            except Exception as e:          # report, don't kill serving
+                for _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def answer(self, question_text: Optional[str],
+               index: Optional[int] = None) -> dict:
+        from concurrent.futures import Future
+        idx = self.index if index is None else int(index)
+        qids = (self.question_to_ids(question_text)
+                if question_text else None)
+        t0 = time.time()
+        fut: Future = Future()
+        self._q.put((idx, qids, fut))
+        seq, idx, qids = fut.result(timeout=120)
+        return {"answer": self.vocab.decode(seq), "index": idx,
+                "latency_ms": round(1000 * (time.time() - t0), 2),
+                "question_tokens": (qids[qids > 0].tolist()
+                                    if qids is not None else None)}
+
+
 def make_handler(engine: InferenceEngine):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, obj, code=200):
@@ -139,9 +263,12 @@ def make_handler(engine: InferenceEngine):
 
         def do_GET(self):
             if self.path.startswith("/health"):
-                self._send({"status": "ok",
-                            "index": engine.index,
-                            "vocab_size": engine.vocab.size})
+                info = {"status": "ok",
+                        "index": engine.index,
+                        "vocab_size": engine.vocab.size}
+                if hasattr(engine, "stats"):
+                    info["coalescing"] = dict(engine.stats)
+                self._send(info)
             elif self.path.startswith("/sample"):
                 q = self.path.split("index=")
                 idx = int(q[1]) if len(q) > 1 else None
@@ -201,6 +328,11 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--image_dir", default=None,
                    help="PNG directory for the /image endpoint")
+    p.add_argument("--coalesce_batch", type=int, default=16,
+                   help="micro-batch bucket for concurrent requests "
+                        "(0 disables coalescing: plain batch-1 engine)")
+    p.add_argument("--linger_ms", type=float, default=2.0,
+                   help="dispatcher wait for straggler requests")
     a = p.parse_args(argv)
 
     from ekaid_tpu.train.train import (build_synthetic_trainer,
@@ -218,7 +350,12 @@ def main(argv=None):
                                     name=a.checkpoint)
         print(f"loaded checkpoint step {int(trainer.state.step)}")
 
-    engine = InferenceEngine(trainer, image_dir=a.image_dir)
+    if a.coalesce_batch > 0:
+        engine: InferenceEngine = CoalescingEngine(
+            trainer, image_dir=a.image_dir,
+            coalesce_batch=a.coalesce_batch, linger_ms=a.linger_ms)
+    else:
+        engine = InferenceEngine(trainer, image_dir=a.image_dir)
     server = ThreadingHTTPServer((a.host, a.port), make_handler(engine))
     print(f"serving on http://{a.host}:{a.port}")
     server.serve_forever()

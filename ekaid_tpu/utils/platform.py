@@ -22,6 +22,25 @@ def enable_compile_cache(path: str = "/tmp/ekaid_jaxcache") -> None:
     jax.config.update("jax_compilation_cache_dir", path)
 
 
+def resolve_roi_backend(backend: str) -> str:
+    """Resolve a `detector.roi_backend` of 'auto' to a concrete
+    'pallas' (TPU) / 'xla' (everything else) ONCE, at build time.
+
+    This is the config/runner-layer home for the device query: module
+    setup() must never call jax.devices() — on a wedged axon claim that
+    hangs indefinitely (memory: axon-tpu-quirks), it would fire at every
+    model construction including CPU test inits, and it would bake the
+    trace-time platform into the module, breaking cross-platform AOT
+    lowering."""
+    if backend != "auto":
+        return backend
+    import jax
+    try:
+        return ("pallas" if jax.default_backend() == "tpu" else "xla")
+    except Exception:
+        return "xla"
+
+
 def apply_platform_env() -> None:
     plat = os.environ.get("EKAID_PLATFORM")
     if not plat:

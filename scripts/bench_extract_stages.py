@@ -63,7 +63,9 @@ def main():
 
     platform = jax.devices()[0].platform
     cfg = default_config()
+    from ekaid_tpu.utils.platform import resolve_roi_backend
     det = cfg.detector
+    det = det.replace(roi_backend=resolve_roi_backend(det.roi_backend))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = FasterRCNN(det, num_classes=det.num_anatomy_classes,
                        policy=policy)

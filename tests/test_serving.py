@@ -78,3 +78,54 @@ def test_http_round_trip(engine):
         call("/bogus")
     assert e.value.code == 404
     server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def coalescing_engine(engine):
+    from ekaid_tpu.serving.server import CoalescingEngine
+    return CoalescingEngine(engine.trainer, coalesce_batch=8,
+                            linger_ms=30.0)
+
+
+def test_coalescing_single_request(coalescing_engine):
+    out = coalescing_engine.answer("w5 w9 what")
+    assert isinstance(out["answer"], str)
+    assert out["question_tokens"]
+
+
+def test_coalescing_matches_batch1(coalescing_engine, engine):
+    """The padded batched decode must answer exactly like the batch-1
+    program for the same (index, question)."""
+    idx = int(engine.ds.split_idxs[0])
+    a = engine.answer("w5 what", index=idx)
+    b = coalescing_engine.answer("w5 what", index=idx)
+    assert a["answer"] == b["answer"]
+
+
+def test_coalescing_concurrent_clients(coalescing_engine):
+    """16 concurrent requests must all succeed, answers must match their
+    per-index batch-1 results, and the dispatcher must have folded at
+    least one multi-request batch (stats)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    eng = coalescing_engine
+    avail = [int(i) for i in list(eng.ds.split_idxs)[:4]]
+    idxs = [avail[k % len(avail)] for k in range(16)]
+    before = dict(eng.stats)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        outs = list(ex.map(
+            lambda i: eng.answer("what has changed", index=i), idxs))
+
+    assert len(outs) == 16
+    assert all(isinstance(o["answer"], str) for o in outs)
+    # same index + same question -> identical answer regardless of
+    # which coalesced batch it rode in
+    by_idx = {}
+    for i, o in zip(idxs, outs):
+        by_idx.setdefault(i, set()).add(o["answer"])
+    assert all(len(v) == 1 for v in by_idx.values())
+    assert eng.stats["requests"] - before["requests"] == 16
+    assert eng.stats["batches"] - before["batches"] < 16, \
+        "no coalescing happened"
+    assert eng.stats["max_batch"] >= 2
