@@ -96,6 +96,19 @@ class SpeakerConfig:
     # multiplying by zero blocks. Same params, same math up to f32
     # summation order. Eval-only; ignored under init/teacher forcing.
     fused_core: bool = False
+    # stream the large DynamicCore kernels as per-channel int8 during
+    # free-running decode (halves the dominant HBM weight traffic of
+    # the 90-step scan; ~0.4% per-weight rounding — models/quant.py).
+    # Eval-only, like fused_core. 'none' | 'int8'.
+    weight_quant: str = "none"
+    # rematerialization policy for the teacher-forcing scan body during
+    # TRAINING: 'none' stores every step's activations for the backward
+    # (XLA default), 'dots' (jax.checkpoint_policies.checkpoint_dots)
+    # keeps matmul outputs and recomputes the cheap elementwise tail,
+    # 'full' recomputes the whole step. Trades HBM activation traffic
+    # for recompute FLOPs; outputs/grads are bitwise-identical choices
+    # of schedule only. A/B'd in scripts/bench_train.py --remat.
+    remat: str = "none"
     # BOS token fed at step 0 of free-running decode. The reference primes
     # with index 2 (dynamic_speaker_change_pos.py:272,311) even though the
     # shipped vocab maps '<start>'->1; kept for parity.

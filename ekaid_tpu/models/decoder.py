@@ -292,9 +292,19 @@ class DynamicSpeaker(nn.Module):
                                          (B, T) + logp_pos.shape[1:])
             mws = jnp.broadcast_to(mw[:, None], (B, T, 3))
         else:
+            scan_step = step
+            if train and c.remat != "none":
+                # remat the scan body for the backward: store only the
+                # carried state between steps, recompute ('full') or
+                # keep matmul outputs ('dots') within a step. Applied
+                # ONLY on the scan path — the init trace's eager step
+                # must create params outside jax.checkpoint.
+                pol = (None if c.remat == "full"
+                       else jax.checkpoint_policies.checkpoint_dots)
+                scan_step = jax.checkpoint(step, policy=pol)
             _, (logps, logps_pos, mws) = jax.lax.scan(
-                step, (state0, prev_logp0), (tokens, step_keys, ss_keys,
-                                             idx),
+                scan_step, (state0, prev_logp0), (tokens, step_keys,
+                                                  ss_keys, idx),
                 unroll=c.scan_unroll)
             logps = jnp.swapaxes(logps, 0, 1)            # [B, T, vocab]
             logps_pos = jnp.swapaxes(logps_pos, 0, 1)
@@ -338,9 +348,14 @@ class DynamicSpeaker(nn.Module):
         bos = jnp.full((B,), c.bos_token, jnp.int32)
         vocab_iota = jnp.arange(c.vocab_size)
         fused_step = None
-        if c.fused_core and not self.is_mutable_collection("params"):
-            fused_step = make_fused_core_step(
-                self.core.variables["params"], c, self.policy)
+        if not self.is_mutable_collection("params"):
+            if c.weight_quant == "int8":
+                from ekaid_tpu.models.quant import make_quant_core_step
+                fused_step = make_quant_core_step(
+                    self.core.variables["params"], c, self.policy)
+            elif c.fused_core:
+                fused_step = make_fused_core_step(
+                    self.core.variables["params"], c, self.policy)
 
         def step(carry, inp):
             state, it, unfinished = carry

@@ -64,19 +64,24 @@ def cast_params_for_inference(params, policy: "Policy"):
 
     def is_weight_norm_module(node) -> bool:
         # structural detection: a WNDense module dict carries exactly
-        # the weight-norm pair {v, g} (+ optional bias) with the
-        # WNDense shape contract — v a matrix kernel, g a scalar
-        # (dim=None weight norm, fc.py parity). Matching the module
-        # NAME ('WNDense_0') would silently stop protecting a WNDense
-        # given an explicit name=; matching keys alone could misfire on
-        # an unrelated {v, g} module (ADVICE r2), so the ranks are
-        # checked too.
+        # the weight-norm pair {v, g} (+ optional bias) with a
+        # weight-norm shape contract — v a matrix kernel, g either a
+        # scalar (dim=None weight norm, fc.py parity — what WNDense
+        # uses) or a per-output-channel vector (torch dim=0 form).
+        # Matching the module NAME ('WNDense_0') would silently stop
+        # protecting a WNDense given an explicit name=; matching keys
+        # alone could misfire on an unrelated {v, g} module (ADVICE
+        # r2), so the ranks are checked too. Skipping the cast is the
+        # safe direction (minor perf loss, never lost f32 protection).
         if not ("v" in node and "g" in node
                 and set(node) <= {"v", "g", "bias"}):
             return False
         v, g = node["v"], node["g"]
-        return (getattr(v, "ndim", None) == 2
-                and getattr(g, "ndim", None) == 0)
+        if getattr(v, "ndim", None) != 2:
+            return False
+        gnd = getattr(g, "ndim", None)
+        return gnd == 0 or (gnd == 1
+                            and g.shape == v.shape[-1:])
 
     def cast(node):
         if hasattr(node, "keys"):             # dict / FrozenDict

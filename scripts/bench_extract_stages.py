@@ -106,6 +106,17 @@ def main():
                 jnp.float32)
 
         try:
+            flops = bytes_acc = 0.0
+            try:
+                ca = step.lower(images, jnp.float32(0),
+                                jnp.float32(0)).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops = float(ca.get("flops", 0.0))
+                bytes_acc = float(ca.get("bytes accessed", 0.0))
+            except Exception:
+                pass
+
             t0 = time.perf_counter()
             _ = np.asarray(step(images, jnp.float32(0), jnp.float32(0)))
             compile_s = time.perf_counter() - t0
@@ -119,12 +130,20 @@ def main():
                 return time.perf_counter() - t0
 
             dt, _ = _slope_time(chain, 2, 8)
-            print(json.dumps({
+            rec = {
                 "stage": name, "platform": platform, "batch": b,
                 "ms_per_batch": round(dt * 1e3, 1),
                 "ms_per_image": round(dt * 1e3 / b, 2),
                 "images_per_sec": round(b / dt, 2),
-                "compile_s": round(compile_s, 1)}), flush=True)
+                "tflops": round(flops / 1e12, 4),
+                "gbytes": round(bytes_acc / 1e9, 3),
+                # v5e rooflines: which bound is this stage nearest?
+                "compute_bound_ms": round(flops / 197e12 * 1e3, 2),
+                "hbm_bound_ms": round(bytes_acc / 819e9 * 1e3, 2),
+                "compile_s": round(compile_s, 1)}
+            if flops and platform == "tpu":
+                rec["mfu_pct"] = round(100.0 * flops / dt / 197e12, 2)
+            print(json.dumps(rec), flush=True)
         except Exception as e:
             print(json.dumps({"stage": name,
                               "error": f"{type(e).__name__}: {e}"}),

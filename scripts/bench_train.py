@@ -43,6 +43,13 @@ def main():
     p.add_argument("--cast", action="store_true",
                    help="dtypes.train_param_cast: one bf16 weight cast "
                         "per step instead of 90 per-use f32 reads")
+    p.add_argument("--remat", default="none",
+                   choices=["none", "dots", "full"],
+                   help="speaker.remat policy for the decode scan "
+                        "backward (VERDICT r2 do #5)")
+    p.add_argument("--stages", action="store_true",
+                   help="also time fwd-only and fwd+bwd sub-programs "
+                        "and print their XLA flops/bytes rooflines")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -72,6 +79,8 @@ def main():
     if a.unroll:
         cfg = cfg.replace(speaker=cfg.speaker.replace(
             scan_unroll=a.unroll))
+    if a.remat != "none":
+        cfg = cfg.replace(speaker=cfg.speaker.replace(remat=a.remat))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
     tx = make_optimizer(cfg.train.optim)
@@ -122,7 +131,84 @@ def main():
     if tflops > 0 and platform != "cpu":
         rec["mfu_pct"] = round(100.0 * tflops * 1e12 / per
                                / V5E_BF16_PEAK, 2)
+    rec["remat"] = cfg.speaker.remat
     print(json.dumps(rec))
+
+    if a.stages:
+        # sub-program rooflines: XLA's own flops + bytes-accessed
+        # estimates vs v5e peaks locate whether each stage is compute-
+        # or HBM-bound, and the measured time says how far off it runs
+        HBM_GBPS = 819e9
+        from ekaid_tpu.models.ekaid import total_loss
+
+        def fwd_only(params, batch, rng):
+            out = model.apply(params, batch, ss_prob=0.0, train=True,
+                              rngs={"dropout": rng, "sample": rng})
+            loss, _ = total_loss(out, batch, cfg.train.att_reg_weight)
+            return loss
+
+        def fwd_bwd(params, batch, rng):
+            loss, grads = jax.value_and_grad(fwd_only)(params, batch,
+                                                       rng)
+            # consume every grad so the backward cannot be DCE'd
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree.leaves(grads))
+            return loss, gsum
+
+        @jax.jit
+        def fwd_step(params, batch, rng, carry):
+            b2 = dict(batch)
+            b2["bef_feats"] = b2["bef_feats"] + 1e-7 * carry
+            return fwd_only(params, b2, rng).astype(jnp.float32)
+
+        @jax.jit
+        def fwdbwd_step(params, batch, rng, carry):
+            b2 = dict(batch)
+            b2["bef_feats"] = b2["bef_feats"] + 1e-7 * carry
+            loss, gsum = fwd_bwd(params, b2, rng)
+            return (loss + 1e-30 * gsum).astype(jnp.float32)
+
+        for name, fn in [("forward", fwd_step),
+                         ("forward+backward", fwdbwd_step)]:
+            try:
+                flops = bytes_acc = 0.0
+                try:
+                    ca = fn.lower(state.params, batch, rng,
+                                  jnp.float32(0)).compile(
+                                      ).cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    flops = float(ca.get("flops", 0.0))
+                    bytes_acc = float(ca.get("bytes accessed", 0.0))
+                except Exception:
+                    pass
+                c0 = fn(state.params, batch, rng, jnp.float32(0))
+                _ = np.asarray(c0)
+
+                def chain(n, fn=fn):
+                    c = jnp.float32(0)
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        c = fn(state.params, batch, rng, c)
+                    _ = np.asarray(c)
+                    return time.perf_counter() - t0
+
+                dt, _ = _slope_time(chain, n_lo, n_hi)
+                srec = {"stage": name, "ms": round(dt * 1e3, 2),
+                        "tflops": round(flops / 1e12, 4),
+                        "gbytes": round(bytes_acc / 1e9, 3),
+                        "compute_bound_ms": round(
+                            flops / V5E_BF16_PEAK * 1e3, 2),
+                        "hbm_bound_ms": round(
+                            bytes_acc / HBM_GBPS * 1e3, 2)}
+                if flops:
+                    srec["mfu_pct"] = round(
+                        100.0 * flops / dt / V5E_BF16_PEAK, 2)
+                print(json.dumps(srec), flush=True)
+            except Exception as e:
+                print(json.dumps({"stage": name,
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
 
 
 if __name__ == "__main__":

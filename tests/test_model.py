@@ -502,3 +502,128 @@ def test_inference_cast_protects_named_weight_norm():
     assert out["params"]["proj"]["g"].dtype == jnp.float32
     assert out["params"]["dense"]["kernel"].dtype == jnp.bfloat16
     assert out["params"]["dense"]["bias"].dtype == jnp.bfloat16
+
+
+def test_quantize_matrix_error_bound():
+    """Per-channel int8: |w - q*s| <= s/2 elementwise (half a level)."""
+    from ekaid_tpu.models.quant import quantize_matrix
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48)) * 0.3
+    q, s = quantize_matrix(w)
+    assert q.dtype == jnp.int8 and s.shape == (48,)
+    err = np.abs(np.asarray(w) - np.asarray(q, np.float32) * np.asarray(s))
+    assert (err <= np.asarray(s)[None, :] / 2 + 1e-7).all()
+
+
+def test_quant_core_step_matches_module():
+    """make_quant_core_step reproduces DynamicCore's eval step within
+    the int8 rounding budget (the large kernels round to 127 levels;
+    everything else is exact under F32)."""
+    from ekaid_tpu.models.decoder import DynamicSpeaker
+    from ekaid_tpu.models.quant import (QUANT_MIN_ELEMS,
+                                        make_quant_core_step)
+
+    # mid-size dims so the big kernels cross QUANT_MIN_ELEMS and the
+    # int8 dequant branch is actually exercised (gate1x 512x512 etc.)
+    cfg = tiny_config().speaker.replace(
+        input_dim=256, rnn_size=128, embed_dim=256, embed_input_dim=768)
+    spk = DynamicSpeaker(cfg, policy=F32)
+    B, D = 2, cfg.input_dim
+    rng = jax.random.PRNGKey(7)
+    fb, fd, fa = (jax.random.normal(k, (B, D))
+                  for k in jax.random.split(rng, 3))
+    variables = spk.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        fb, fa, fd, sample_max=True, method="sample")
+    core_params = variables["params"]["core"]
+    # at tiny dims no kernel may cross the int8 threshold — force at
+    # least one by dropping the threshold via monkeypatching is avoided;
+    # instead check both regimes explicitly below
+    step_q = make_quant_core_step(core_params, cfg, F32)
+
+    def module_step(xt, fused, feats, state):
+        from ekaid_tpu.models.decoder import DynamicCore
+        core = DynamicCore(cfg, policy=F32)
+        return core.apply({"params": core_params}, xt, fused, feats,
+                          state, drop_key=None)
+
+    xt = jax.random.normal(jax.random.PRNGKey(2),
+                           (B, cfg.word_embed_size))
+    fused = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.embed_dim))
+    feats = jax.random.normal(jax.random.PRNGKey(4), (B, 3, D))
+    state = {k: jnp.zeros((B, cfg.rnn_size))
+             for k in ("h_mod", "c_mod", "h_lang", "c_lang")}
+
+    ha, sa, da, ma = module_step(xt, fused, feats, state)
+    hb, sb, db, mb = step_q(xt, fused, feats, state)
+    quantized_any = any(
+        v.ndim == 2 and v.size >= QUANT_MIN_ELEMS
+        for sub in core_params.values() for v in sub.values())
+    assert quantized_any, "dims chosen to cross QUANT_MIN_ELEMS"
+    tol = 5e-2
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), atol=tol)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=tol)
+    np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), atol=tol)
+    for k in sa:
+        np.testing.assert_allclose(np.asarray(sa[k]), np.asarray(sb[k]),
+                                   atol=tol)
+
+
+def test_quant_decode_smoke_and_tiny_exact():
+    """weight_quant='int8' decodes valid sequences; at tiny dims every
+    kernel is below the quantization threshold, so the path must be
+    numerically identical to the baseline (proves the step wiring)."""
+    cfg1 = tiny_config()
+    cfg2 = cfg1.replace(speaker=cfg1.speaker.replace(weight_quant="int8"))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg1, 2, seed=8))
+    m1 = EkaidModel(cfg1, ntoken=NTOKEN, policy=F32)
+    m2 = EkaidModel(cfg2, ntoken=NTOKEN, policy=F32)
+    params = m1.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    a = m1.apply(params, batch, method="decode", sample_max=True,
+                 early_exit=False)
+    b = m2.apply(params, batch, method="decode", sample_max=True,
+                 early_exit=False)
+    assert b["seq"].shape == a["seq"].shape
+    from ekaid_tpu.models.quant import QUANT_MIN_ELEMS
+    from flax.traverse_util import flatten_dict
+    flat = flatten_dict(params["params"])
+    core_kernels = [v for k, v in flat.items() if "core" in k]
+    if all(not (v.ndim == 2 and v.size >= QUANT_MIN_ELEMS)
+           for v in core_kernels):
+        np.testing.assert_array_equal(np.asarray(a["seq"]),
+                                      np.asarray(b["seq"]))
+
+
+def test_remat_grads_match():
+    """speaker.remat is a pure scheduling knob: losses and gradients
+    must match the no-remat baseline (same math, recomputed)."""
+    cfg1 = tiny_config()
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg1, 2, seed=9))
+    m1 = EkaidModel(cfg1, ntoken=NTOKEN, policy=F32)
+    params = m1.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+
+    def loss_for(cfg):
+        model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+
+        def f(p):
+            out = model.apply(p, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+            loss, _ = total_loss(out, batch, cfg.train.att_reg_weight)
+            return loss
+
+        return jax.value_and_grad(f)(params)
+
+    l0, g0 = loss_for(cfg1)
+    for mode in ("dots", "full"):
+        cfgr = cfg1.replace(speaker=cfg1.speaker.replace(remat=mode))
+        l1, g1 = loss_for(cfgr)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        flat0 = jax.tree.leaves(g0)
+        flat1 = jax.tree.leaves(g1)
+        for x, y in zip(flat0, flat1):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5, rtol=1e-5)
