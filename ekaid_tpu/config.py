@@ -268,11 +268,18 @@ class DetectorConfig:
     # (torch_convert.convert_detector_checkpoint reports them)
     pixel_mean: tuple = (103.530, 116.280, 123.675)
     pixel_std: tuple = (1.0, 1.0, 1.0)
-    # ROIAlign backend for the batched inference path: 'pallas'
-    # (patch-DMA kernel, ops/pallas_roi.py — 2.0x the XLA gather on
-    # v5e), 'xla' (differentiable gather), or 'auto' (pallas on TPU,
-    # xla elsewhere). Training always uses the XLA gather.
+    # ROIAlign backend for the batched inference path
+    # (ops/pallas_roi.py): 'canvas' (whole-pyramid-in-VMEM kernel —
+    # 6.1x the XLA gather on v5e at 1024²; pools at the feature dtype),
+    # 'pallas' (patch-DMA kernel — 1.7x XLA, f32-operand pooling, works
+    # for images above 1536²), 'xla' (differentiable gather), or 'auto'
+    # (canvas on TPU, xla elsewhere). Training always uses XLA.
     roi_backend: str = "auto"
+    # RPN pre-NMS top-k at inference: 'exact' (Detectron2 bit-parity
+    # sort) or 'approx' (lax.approx_max_k, recall 0.99 — TPU partial
+    # reduction; DOCUMENTED DEVIATION, rpn.py::generate_proposals).
+    # Training always sorts exactly.
+    rpn_topk: str = "exact"
 
 
 @_frozen

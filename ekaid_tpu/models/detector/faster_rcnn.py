@@ -71,7 +71,11 @@ class FasterRCNN(nn.Module):
             logits, deltas, anchors, self.cfg.image_size,
             pre_nms_topk=2000 if train else self.cfg.pre_nms_topk,
             post_nms_topk=self.cfg.post_nms_topk,
-            nms_thresh=0.7)
+            nms_thresh=0.7,
+            # approx top-k only ever applies at inference: training
+            # keeps the exact sort (sampling parity)
+            topk_impl=("exact" if train else
+                       getattr(self.cfg, "rpn_topk", "exact")))
         return (logits, deltas, anchors), (boxes, scores, valid)
 
     def __call__(self, images, train: bool = False):

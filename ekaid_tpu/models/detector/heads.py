@@ -30,7 +30,7 @@ class BoxHead(nn.Module):
     fc_dim: int = 1024
     pool_size: int = 7
     policy: Policy = F32
-    roi_backend: str = "xla"      # 'xla' | 'pallas'; batched calls only
+    roi_backend: str = "xla"  # 'xla' | 'pallas' | 'canvas'; see config
 
     @nn.compact
     def __call__(self, fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
@@ -43,7 +43,13 @@ class BoxHead(nn.Module):
         deltas [..., K*4]).
         """
         dt = self.policy.compute_dtype
-        if rois.ndim == 3 and self.roi_backend == "pallas":
+        if rois.ndim == 3 and self.roi_backend == "canvas":
+            # whole-pyramid-in-VMEM kernel (inference only, no autodiff)
+            from ekaid_tpu.ops.pallas_roi import \
+                multilevel_roi_align_canvas
+            pooled = multilevel_roi_align_canvas(
+                fmaps, rois, scales, out_size=self.pool_size)
+        elif rois.ndim == 3 and self.roi_backend == "pallas":
             # patch-DMA kernel (no autodiff — inference path only)
             from ekaid_tpu.ops.pallas_roi import \
                 multilevel_roi_align_pallas

@@ -55,19 +55,30 @@ def generate_proposals(logits: Sequence[jnp.ndarray],
                        pre_nms_topk: int = 1000,
                        post_nms_topk: int = 1000,
                        nms_thresh: float = 0.7,
-                       min_size: float = 0.0
+                       min_size: float = 0.0,
+                       topk_impl: str = "exact"
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched proposal generation.
 
     logits[l]: [B, N_l]; deltas[l]: [B, N_l, 4]; anchors[l]: [N_l, 4].
     Returns (boxes [B, post, 4], scores [B, post], valid [B, post]).
+
+    topk_impl: 'exact' (Detectron2 bit-parity sort) or 'approx'
+    (jax.lax.approx_max_k at recall_target 0.99 — the pre-NMS top-k is
+    a heuristic preselection, so a TPU-native partial reduction is
+    semantically safe; DOCUMENTED DEVIATION behind
+    `detector.rpn_topk`, A/B'd in scripts/bench_extract_stages.py).
     """
     def per_image(args):
         lgs, dls = args
         lvl_boxes, lvl_scores, lvl_ids = [], [], []
         for li, (lg, dl, an) in enumerate(zip(lgs, dls, anchors)):
             k = min(pre_nms_topk, lg.shape[0])
-            sc, idx = jax.lax.top_k(lg, k)
+            if topk_impl == "approx" and k < lg.shape[0]:
+                sc, idx = jax.lax.approx_max_k(lg, k,
+                                               recall_target=0.99)
+            else:
+                sc, idx = jax.lax.top_k(lg, k)
             box = decode_boxes(dl[idx], an[idx])
             box = clip_boxes(box, image_size)
             lvl_boxes.append(box)

@@ -175,6 +175,262 @@ def _make_kernel(out_size: int, sampling_ratio: int, num_levels: int,
     return kernel
 
 
+def _roi_geometry(flat_rois, scales, heights, out_size: int, s: int,
+                  min_level: int, num_levels: int):
+    """Per-ROI level assignment (incl. the elongated-ROI fit bump, a
+    DOCUMENTED DEVIATION — see multilevel_roi_align_pallas) and patch
+    geometry. Returns (lvl_idx int32 [R], ys f32 [R] level-relative
+    8-unaligned row starts, xs f32 [R] level-relative 8-ALIGNED col
+    starts, fmeta flat f32 [R*8])."""
+    levels = assign_levels(flat_rois, min_level=min_level,
+                           max_level=min_level + num_levels - 1)
+    lvl_idx = levels - min_level
+
+    cap = 44.0                                  # patch minus margins
+    long_side = jnp.maximum(
+        jnp.maximum(flat_rois[:, 2] - flat_rois[:, 0],
+                    flat_rois[:, 3] - flat_rois[:, 1]), 0.0)
+    l_needed = jnp.ceil(jnp.log2(jnp.maximum(
+        long_side * float(scales[0]) / cap, 1e-6))).astype(jnp.int32)
+    lvl_idx = jnp.clip(jnp.maximum(lvl_idx, l_needed), 0,
+                       num_levels - 1)
+
+    h_arr = jnp.asarray(heights, jnp.float32)[lvl_idx]
+    py_arr = jnp.minimum(float(PATCH_Y), h_arr)
+    px_arr = jnp.minimum(float(PATCH_X), h_arr)
+    scale_arr = jnp.asarray(scales, jnp.float32)[lvl_idx]
+
+    x1 = flat_rois[:, 0] * scale_arr - 0.5
+    y1 = flat_rois[:, 1] * scale_arr - 0.5
+    bin_w = (flat_rois[:, 2] - flat_rois[:, 0]) * scale_arr / out_size
+    bin_h = (flat_rois[:, 3] - flat_rois[:, 1]) * scale_arr / out_size
+
+    first_y = y1 + bin_h * (0.5 / s)
+    first_x = x1 + bin_w * (0.5 / s)
+    ys = jnp.clip(jnp.floor(first_y), 0.0, h_arr - py_arr)
+    xs = jnp.floor(jnp.clip(jnp.floor(first_x), 0.0, h_arr - px_arr)
+                   / 8.0) * 8.0
+
+    fmeta = jnp.stack([
+        y1 - ys, x1 - xs, bin_h, bin_w,
+        (h_arr - 1.0) - ys, (h_arr - 1.0) - xs, ys, xs], axis=1
+    ).astype(jnp.float32).reshape(-1)
+    return lvl_idx, ys, xs, fmeta
+
+
+def _make_canvas_kernel(out_size: int, sampling_ratio: int,
+                        num_levels: int, heights: tuple, x_off: tuple,
+                        group: int, n_chunks: int):
+    """Whole-pyramid-in-VMEM variant: levels are DMA'd ONCE per image
+    into a canvas scratch (side by side along x), and every ROI slices
+    its 48×56 patch from VMEM — no per-ROI HBM traffic at all. The
+    patch-DMA kernel re-reads ~1.4 GB/image of overlapping patches from
+    HBM (1000 ROIs × 1.4 MB); the canvas reads each level byte exactly
+    once (~21 MB/image at C=256 bf16)."""
+    s = sampling_ratio
+    os_ = out_size * s
+
+    def kernel(meta_s, fmeta_s, *rest):
+        lvl_maps = rest[:num_levels]
+        out_ref, canvas, sems = rest[num_levels:]
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when((b == 0) & (g == 0))
+        def _():
+            # one-time zero: the padding regions (rows below a level's
+            # height, the x tail) are never DMA'd, and 0-weight ×
+            # uninit(NaN) would poison the pooling matmuls. Level
+            # regions are overwritten by the DMAs every image.
+            canvas[...] = jnp.zeros(canvas.shape, canvas.dtype)
+
+        def level_copy(li):
+            h = heights[li]
+            return pltpu.make_async_copy(
+                lvl_maps[li].at[b],
+                canvas.at[pl.ds(0, h), pl.ds(x_off[li], h), :],
+                sems.at[li])
+
+        @pl.when(g == 0)
+        def _():
+            for li in range(num_levels):
+                level_copy(li).start()
+            for li in range(num_levels):
+                level_copy(li).wait()
+
+        # hat/bin matrices from iota (see the patch-DMA kernel)
+        bin_i = jax.lax.broadcasted_iota(jnp.int32, (out_size, os_), 0)
+        samp_i = jax.lax.broadcasted_iota(jnp.int32, (out_size, os_), 1)
+        pavg = jnp.where(samp_i // s == bin_i, 1.0 / s, 0.0)
+        iota_os_i = jax.lax.broadcasted_iota(jnp.int32, (os_, 1), 0)
+        iota_py = jax.lax.broadcasted_iota(
+            jnp.int32, (os_, PATCH_Y), 1).astype(jnp.float32)
+        iota_px = jax.lax.broadcasted_iota(
+            jnp.int32, (os_, PATCH_X), 1).astype(jnp.float32)
+        grid = ((iota_os_i // s).astype(jnp.float32)
+                + ((iota_os_i % s).astype(jnp.float32) + 0.5) / s)
+
+        for j in range(group):
+            r = (b * n_chunks + g) * group + j
+            y1r = fmeta_s[8 * r + 0]
+            x1r = fmeta_s[8 * r + 1]
+            bh = fmeta_s[8 * r + 2]
+            bw = fmeta_s[8 * r + 3]
+            yhi = fmeta_s[8 * r + 4]
+            xhi = fmeta_s[8 * r + 5]
+            ysf = fmeta_s[8 * r + 6]
+            xsf = fmeta_s[8 * r + 7]
+
+            def hat(origin, binsz, hi, start_f, iota_p):
+                raw = origin + binsz * grid
+                absc = raw + start_f
+                full = hi + start_f + 1.0
+                ins = ((absc >= -1.0)
+                       & (absc <= full)).astype(jnp.float32)
+                cl = jnp.clip(raw, 0.0, hi)
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(cl - iota_p)) * ins
+                return jnp.dot(pavg, w)
+
+            a_y = hat(y1r, bh, yhi, ysf, iota_py)
+            b_x = hat(x1r, bw, xhi, xsf, iota_px)
+
+            # uniform VMEM slice; weight columns beyond the ROI's level
+            # are exactly 0, so spill into a neighbouring level's
+            # region (or the zeroed padding) contributes nothing.
+            # The pooling matmul runs at the FEATURE dtype with f32
+            # accumulation (bf16×bf16→f32 on the MXU): casting the
+            # whole 48×56×C patch to f32 per ROI costs more VPU time
+            # than the pooling itself (DOCUMENTED: the patch-DMA
+            # variant keeps full f32 operands; this one matches the
+            # XLA bf16 path's precision instead)
+            patch = canvas[pl.ds(meta_s[2 * r + 0], PATCH_Y),
+                           pl.ds(pl.multiple_of(meta_s[2 * r + 1], 8),
+                                 PATCH_X), :]
+            c = patch.shape[-1]
+            t = jnp.dot(a_y.astype(patch.dtype),
+                        patch.reshape(PATCH_Y, PATCH_X * c),
+                        preferred_element_type=jnp.float32)
+            t = t.reshape(out_size, PATCH_X, c)
+            o = jax.lax.dot_general(b_x, t,
+                                    (((1,), (1,)), ((), ())))
+            out_ref[j] = o.transpose(1, 0, 2).astype(out_ref.dtype)
+
+    return kernel
+
+
+def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
+                                rois: jnp.ndarray,
+                                scales: Sequence[float],
+                                out_size: int = 7,
+                                sampling_ratio: int = 2,
+                                min_level: int = 2,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Canvas variant of multilevel_roi_align_pallas (same contract and
+    ROI geometry/level-bump semantics). Requires the whole pyramid of
+    one image to fit VMEM (~66 MB at 1024²/C=256 bf16) — the extraction
+    geometry; use the patch-DMA or XLA backends otherwise."""
+    batched = rois.ndim == 3
+    if not batched:
+        fmaps = [f[None] for f in fmaps]
+        rois = rois[None]
+    b, r_per = rois.shape[0], rois.shape[1]
+
+    num_levels = len(fmaps)
+    heights = tuple(int(f.shape[1]) for f in fmaps)
+    for f in fmaps:
+        assert f.shape[1] == f.shape[2], "level maps must be square"
+    assert all(heights[i] > heights[i + 1]
+               for i in range(num_levels - 1)), "levels must shrink"
+    for h in heights:
+        assert h % 8 == 0, "level sizes must be 8-aligned (canvas)"
+        assert (h - min(PATCH_X, h)) % 8 == 0
+    assert heights[-1] <= min(PATCH_Y, PATCH_X), (
+        "top-level map exceeds the patch — use the XLA roi backend")
+
+    C = fmaps[0].shape[-1]
+    dt = fmaps[0].dtype
+    group = 8
+
+    # ROI-count guard (SMEM prefetch budget): chunk the ROI dim
+    max_rois = 16384
+    if b * r_per > max_rois and r_per > max_rois // b:
+        rc = max(group, (max_rois // b) // group * group)
+        pad_r = (-r_per) % rc
+        rp = jnp.concatenate(
+            [rois, jnp.zeros((b, pad_r, 4), rois.dtype)],
+            axis=1) if pad_r else rois
+        blocks = jnp.swapaxes(rp.reshape(b, -1, rc, 4), 0, 1)
+
+        def one_blk(blk):
+            return multilevel_roi_align_canvas(
+                list(fmaps), blk, scales, out_size=out_size,
+                sampling_ratio=sampling_ratio, min_level=min_level,
+                interpret=interpret)
+
+        out = jax.lax.map(one_blk, blocks)
+        out = jnp.swapaxes(out, 0, 1).reshape(
+            b, -1, out_size, out_size, C)[:, :r_per]
+        return out if batched else out[0]
+
+    pad_r = (-r_per) % group
+    if pad_r:
+        rois = jnp.concatenate(
+            [rois, jnp.zeros((b, pad_r, 4), rois.dtype)], axis=1)
+    rp = r_per + pad_r
+    n_chunks = rp // group
+    flat_rois = rois.reshape(-1, 4)
+
+    lvl_idx, ys, xs, fmeta = _roi_geometry(
+        flat_rois, scales, heights, out_size, sampling_ratio,
+        min_level, num_levels)
+
+    x_off = [0]
+    for h in heights[:-1]:
+        x_off.append(x_off[-1] + h)
+    x_off = tuple(x_off)
+    canvas_h = max(heights[0], PATCH_Y)
+    canvas_w = x_off[-1] + max(heights[-1], PATCH_X)
+
+    xs_canvas = xs + jnp.asarray(x_off, jnp.float32)[lvl_idx]
+    meta = jnp.stack([ys.astype(jnp.int32),
+                      xs_canvas.astype(jnp.int32)],
+                     axis=1).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_chunks),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)
+                  for _ in range(num_levels)],
+        out_specs=pl.BlockSpec(
+            (group, out_size, out_size, C),
+            lambda bb, g, m, fm: (bb * n_chunks + g, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((canvas_h, canvas_w, C), dt),
+            pltpu.SemaphoreType.DMA((num_levels,)),
+        ],
+    )
+
+    # the canvas scratch alone can be ~66 MB (256×504×256 bf16) —
+    # far past Mosaic's default 16 MB scoped-vmem limit; raise it to
+    # most of the chip's 128 MB VMEM for this kernel only
+    canvas_bytes = canvas_h * canvas_w * C * dt.itemsize
+    assert canvas_bytes <= 100 * 2**20, (
+        f"pyramid canvas {canvas_bytes/2**20:.0f} MB exceeds VMEM — "
+        "use the patch-DMA or XLA roi backend for this geometry")
+    out = pl.pallas_call(
+        _make_canvas_kernel(out_size, sampling_ratio, num_levels,
+                            heights, x_off, group, n_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * rp, out_size, out_size, C),
+                                       dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20),
+        interpret=interpret,
+    )(meta, fmeta, *fmaps)
+    out = out.reshape(b, rp, out_size, out_size, C)[:, :r_per]
+    return out if batched else out[0]
+
+
 def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
                                 rois: jnp.ndarray,
                                 scales: Sequence[float],
@@ -269,52 +525,18 @@ def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
             [img_idx, jnp.zeros((pad,), jnp.int32)], axis=0)
         r += pad
 
-    levels = assign_levels(flat_rois, min_level=min_level,
-                           max_level=min_level + num_levels - 1)
-    lvl_idx = levels - min_level
-
-    # Elongated-ROI fit bump (DOCUMENTED DEVIATION, docs/PARITY.md):
-    # assign_levels bounds sqrt(w*h) only, so a box whose LONG SIDE at
-    # its assigned level exceeds the 44 px cap can span more pixels
-    # there than the fixed patch holds — which would silently zero the
-    # overflowed columns. (The trigger is the 44 px cap itself, not an
-    # aspect threshold: near the top of a level's size band it fires
-    # from aspect ~2.5; mid-band only above ~3.) Such ROIs are bumped
-    # to the first coarser level whose (halving) scale fits their
-    # longer side in the patch.
-    # At the top level the whole map fits inside the patch (asserted
-    # below), so every ROI fits by construction; clamped samples there
-    # are handled exactly by the hat weights.
+    # Level assignment incl. the elongated-ROI fit bump (DOCUMENTED
+    # DEVIATION, docs/PARITY.md): assign_levels bounds sqrt(w*h) only,
+    # so a box whose LONG SIDE at its assigned level exceeds the 44 px
+    # cap is bumped to the first coarser level that fits (else the
+    # overflowed columns would silently pool zeros). At the top level
+    # the whole map fits inside the patch (asserted), so every ROI
+    # fits by construction.
     assert heights[-1] <= min(PATCH_Y, PATCH_X), (
         f"top-level map {heights[-1]} exceeds the patch — use the XLA "
         "roi backend for image sizes above PATCH*2^max_level")
-    cap = 44.0                                  # patch minus margins
-    long_side = jnp.maximum(
-        jnp.maximum(flat_rois[:, 2] - flat_rois[:, 0],
-                    flat_rois[:, 3] - flat_rois[:, 1]), 0.0)
-    l_needed = jnp.ceil(jnp.log2(jnp.maximum(
-        long_side * float(scales[0]) / cap, 1e-6))).astype(jnp.int32)
-    lvl_idx = jnp.clip(jnp.maximum(lvl_idx, l_needed), 0,
-                       num_levels - 1)
-
-    h_arr = jnp.asarray(heights, jnp.float32)[lvl_idx]
-    py_arr = jnp.minimum(float(PATCH_Y), h_arr)     # per-ROI patch rows
-    px_arr = jnp.minimum(float(PATCH_X), h_arr)     # per-ROI patch cols
-    scale_arr = jnp.asarray(scales, jnp.float32)[lvl_idx]
-
-    x1 = flat_rois[:, 0] * scale_arr - 0.5
-    y1 = flat_rois[:, 1] * scale_arr - 0.5
-    bin_w = (flat_rois[:, 2] - flat_rois[:, 0]) * scale_arr / out_size
-    bin_h = (flat_rois[:, 3] - flat_rois[:, 1]) * scale_arr / out_size
-
-    first_y = y1 + bin_h * (0.5 / s)                # sample 0
-    first_x = x1 + bin_w * (0.5 / s)
-    ys = jnp.clip(jnp.floor(first_y), 0.0, h_arr - py_arr)
-    # x-start aligned down to the sublane tile (8): W - px_arr is a
-    # multiple of 8 for every level (200/72/8/0), so the clip preserves
-    # alignment; the +7 px slack is inside PATCH_X
-    xs = jnp.floor(jnp.clip(jnp.floor(first_x), 0.0, h_arr - px_arr)
-                   / 8.0) * 8.0
+    lvl_idx, ys, xs, fmeta = _roi_geometry(
+        flat_rois, scales, heights, out_size, s, min_level, num_levels)
 
     # 1-D prefetch arrays: SMEM pads every 2-D row to 512 B, so an
     # [R, 4] layout costs R*512 B and overflows the ~2 MB SMEM budget
@@ -323,10 +545,6 @@ def multilevel_roi_align_pallas(fmaps: Sequence[jnp.ndarray],
                       ys.astype(jnp.int32),
                       xs.astype(jnp.int32)],
                      axis=1).astype(jnp.int32).reshape(-1)
-    fmeta = jnp.stack([
-        y1 - ys, x1 - xs, bin_h, bin_w,
-        (h_arr - 1.0) - ys, (h_arr - 1.0) - xs, ys, xs], axis=1
-    ).astype(jnp.float32).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                       # meta+fmeta -> SMEM

@@ -24,7 +24,9 @@ def enable_compile_cache(path: str = "/tmp/ekaid_jaxcache") -> None:
 
 def resolve_roi_backend(backend: str) -> str:
     """Resolve a `detector.roi_backend` of 'auto' to a concrete
-    'pallas' (TPU) / 'xla' (everything else) ONCE, at build time.
+    'canvas' (TPU: whole-pyramid-in-VMEM ROIAlign, 3.6× the patch-DMA
+    kernel at the extraction geometry) / 'xla' (everything else) ONCE,
+    at build time.
 
     This is the config/runner-layer home for the device query: module
     setup() must never call jax.devices() — on a wedged axon claim that
@@ -36,7 +38,7 @@ def resolve_roi_backend(backend: str) -> str:
         return backend
     import jax
     try:
-        return ("pallas" if jax.default_backend() == "tpu" else "xla")
+        return ("canvas" if jax.default_backend() == "tpu" else "xla")
     except Exception:
         return "xla"
 

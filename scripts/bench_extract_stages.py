@@ -40,6 +40,13 @@ def relay_up() -> bool:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--roi", default=None, choices=["pallas", "xla"],
+                   help="override detector.roi_backend")
+    p.add_argument("--norm", default=None,
+                   help="override detector.norm (gn|frozen_bn)")
+    p.add_argument("--rpn_topk", default=None,
+                   choices=["exact", "approx"],
+                   help="override detector.rpn_topk")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -65,10 +72,13 @@ def main():
     cfg = default_config()
     from ekaid_tpu.utils.platform import resolve_roi_backend
     det = cfg.detector
-    det = det.replace(roi_backend=resolve_roi_backend(det.roi_backend))
+    det = det.replace(roi_backend=(
+        a.roi or resolve_roi_backend(det.roi_backend)))
+    if a.rpn_topk:
+        det = det.replace(rpn_topk=a.rpn_topk)
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = FasterRCNN(det, num_classes=det.num_anatomy_classes,
-                       policy=policy)
+                       norm=(a.norm or det.norm), policy=policy)
     dummy = jnp.zeros((1, det.image_size, det.image_size, 3),
                       jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)
@@ -83,6 +93,13 @@ def main():
     def backbone_fn(mdl, x):
         return mdl._features(x)[0].sum()
 
+    def rpn_conv_fn(mdl, x):
+        # RPN head convs only — isolates the top-k/NMS proposal
+        # selection cost from the conv cost inside the proposals stage
+        logits, deltas = mdl.rpn(mdl._features(x))
+        return (sum(l.sum() for l in logits)
+                + sum(d.sum() for d in deltas))
+
     def proposals_fn(mdl, x):
         _, (boxes, scores, valid) = mdl._proposals(mdl._features(x))
         return boxes.sum() + scores.sum()
@@ -96,6 +113,7 @@ def main():
         return mdl.extract(x)["features"].sum()
 
     for name, fn in [("backbone", backbone_fn),
+                     ("rpn_conv", rpn_conv_fn),
                      ("proposals", proposals_fn),
                      ("forward", forward_fn),
                      ("extract", extract_fn)]:

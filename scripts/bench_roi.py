@@ -36,6 +36,10 @@ def relay_up() -> bool:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--rois", type=int, default=1000)
+    p.add_argument("--only", default=None,
+                   help="run a single impl (substring match)")
+    p.add_argument("--batch", type=int, default=1,
+                   help=">1 pools batch*rois ROIs in one batched call")
     p.add_argument("--channels", type=int, default=256)
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
@@ -54,7 +58,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from ekaid_tpu.ops.roi_align import multilevel_roi_align
-    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+    from ekaid_tpu.ops.pallas_roi import (multilevel_roi_align_canvas,
+                                          multilevel_roi_align_pallas)
 
     platform = jax.devices()[0].platform
     dt = jnp.bfloat16 if platform != "cpu" else jnp.float32
@@ -71,21 +76,43 @@ def main():
         [np.clip(cx - size / 2, 0, 1023), np.clip(cy - size / 2, 0, 1023),
          np.clip(cx + size / 2, 1, 1024), np.clip(cy + size / 2, 1, 1024)],
         axis=1).astype(np.float32))
+    if a.batch > 1:
+        fmaps = [jnp.asarray(
+            np.broadcast_to(np.asarray(f)[None],
+                            (a.batch,) + f.shape).copy(), dt)
+            for f in fmaps]
+        rois = jnp.asarray(
+            np.broadcast_to(np.asarray(rois)[None], (a.batch, r, 4))
+            .copy())
+        # the XLA path vmaps per image at this entry point
+        xla_fn = lambda fm, b: jax.vmap(
+            lambda m, rr: multilevel_roi_align(m, rr, scales)
+        )(list(fm), b)
+    else:
+        xla_fn = lambda fm, b: multilevel_roi_align(list(fm), b, scales)
 
     results = {}
     for name, fn in [
-            ("xla_gather", lambda b: multilevel_roi_align(
-                fmaps, b, scales)),
-            ("pallas_patch_dma", lambda b: multilevel_roi_align_pallas(
-                fmaps, b, scales))]:
+            ("xla_gather", xla_fn),
+            ("pallas_patch_dma",
+             lambda fm, b: multilevel_roi_align_pallas(
+                 list(fm), b, scales)),
+            ("pallas_canvas",
+             lambda fm, b: multilevel_roi_align_canvas(
+                 list(fm), b, scales))]:
+        if a.only and a.only not in name:
+            continue
+        # fmaps MUST cross the jit boundary as arguments: a closure
+        # embeds them as HLO constants (tens of MB of program, remote-
+        # compile 413s at batch 8, and constant-folding distorts timing)
         @jax.jit
-        def step(rois, carry, i, fn=fn):
+        def step(fmaps, rois, carry, i, fn=fn):
             b = rois + 1e-4 * (carry + i)
-            return fn(b).sum().astype(jnp.float32)
+            return fn(tuple(fmaps), b).sum().astype(jnp.float32)
 
         try:
             t0 = time.perf_counter()
-            first = step(rois, jnp.float32(0), jnp.float32(0))
+            first = step(fmaps, rois, jnp.float32(0), jnp.float32(0))
             _ = np.asarray(first)
             compile_s = time.perf_counter() - t0
 
@@ -93,15 +120,15 @@ def main():
                 c = jnp.float32(0)
                 t0 = time.perf_counter()
                 for i in range(n):
-                    c = step(rois, c, jnp.float32(i + 1))
+                    c = step(fmaps, rois, c, jnp.float32(i + 1))
                 _ = np.asarray(c)
                 return time.perf_counter() - t0
 
             dt_s, _ = _slope_time(chain, 5, 25)
-            results[name] = fn(rois)
+            results[name] = fn(tuple(fmaps), rois)
             print(json.dumps({
                 "impl": name, "platform": platform, "rois": r,
-                "channels": a.channels,
+                "batch": a.batch, "channels": a.channels,
                 "ms_per_call": round(dt_s * 1e3, 3),
                 "compile_s": round(compile_s, 1)}), flush=True)
         except Exception as e:
@@ -109,11 +136,15 @@ def main():
                               "error": f"{type(e).__name__}: {e}"}),
                   flush=True)
 
-    if len(results) == 2:
+    if "xla_gather" in results:
         x = np.asarray(results["xla_gather"], np.float32)
-        pz = np.asarray(results["pallas_patch_dma"], np.float32)
-        rel = np.abs(x - pz).max() / (np.abs(x).max() + 1e-9)
-        print(json.dumps({"max_rel_disagreement": float(rel)}))
+        for name in ("pallas_patch_dma", "pallas_canvas"):
+            if name in results:
+                pz = np.asarray(results[name], np.float32)
+                rel = np.abs(x - pz).max() / (np.abs(x).max() + 1e-9)
+                print(json.dumps(
+                    {"impl": name,
+                     "max_rel_disagreement_vs_xla": float(rel)}))
 
 
 if __name__ == "__main__":

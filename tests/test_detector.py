@@ -173,3 +173,35 @@ def test_rpn_nms_is_level_aware():
         logits, deltas, anchors, image_size=64,
         pre_nms_topk=1, post_nms_topk=4, nms_thresh=0.5)
     assert int(valid.sum()) == 2        # joint NMS would keep only 1
+
+
+def test_rpn_approx_topk_matches_exact_on_cpu():
+    """detector.rpn_topk='approx' (lax.approx_max_k) must produce the
+    same proposal set as the exact sort when k covers the whole score
+    array, and a high-recall superset-ish selection otherwise. On CPU
+    approx_max_k lowers to an exact reduction, so the sets agree —
+    this pins the wiring; the recall deviation is an on-chip property
+    (DOCUMENTED DEVIATION, rpn.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.models.detector.rpn import generate_proposals
+
+    rng = np.random.default_rng(0)
+    n = 512
+    anchors = [jnp.asarray(np.stack([
+        rng.uniform(0, 30, n), rng.uniform(0, 30, n),
+        rng.uniform(34, 64, n), rng.uniform(34, 64, n)], 1)
+        .astype(np.float32))]
+    logits = [jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))]
+    deltas = [jnp.asarray(0.1 * rng.standard_normal((1, n, 4))
+                          .astype(np.float32))]
+    outs = {}
+    for impl in ("exact", "approx"):
+        boxes, scores, valid = generate_proposals(
+            logits, deltas, anchors, image_size=64,
+            pre_nms_topk=64, post_nms_topk=16, nms_thresh=0.7,
+            topk_impl=impl)
+        outs[impl] = (np.asarray(boxes), np.asarray(valid))
+    assert outs["exact"][1].sum() == outs["approx"][1].sum()
+    np.testing.assert_allclose(outs["exact"][0], outs["approx"][0],
+                               rtol=1e-5)

@@ -460,3 +460,60 @@ def test_pallas_roi_single_image_over_smem_budget(rng):
     assert got.shape == (r, 4, 4, 2)
     np.testing.assert_allclose(got[unbumped], want[unbumped],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_canvas_roi_matches_xla(rng):
+    """The whole-pyramid-in-VMEM canvas kernel must match the XLA
+    gather formulation (interpret mode; same hard ROI set as the
+    patch-DMA test, incl. clamps/edges/huge boxes)."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [rng.standard_normal((256 >> i, 256 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = np.array([
+        [8, 8, 48, 48],
+        [4, 4, 120, 90],
+        [8, 8, 208, 208],
+        [0, 0, 800, 700],
+        [0, 0, 1023, 1023],
+        [1000, 1000, 1023, 1023],
+        [-5, -5, 30, 30],
+        [30, 40, 31.5, 41.5],
+        [0, 300, 1000, 350],     # elongated -> level bump
+        [100, 0, 160, 900],
+    ], np.float32)
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_pallas
+    want = np.asarray(multilevel_roi_align_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    got = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # and vs the XLA oracle on the non-bumped subset
+    want_x = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois[:8]), scales,
+        out_size=7))
+    np.testing.assert_allclose(got[:8], want_x, rtol=1e-4, atol=1e-5)
+
+
+def test_canvas_roi_batched_matches_per_image(rng):
+    """Batched canvas pooling (grid over images) must equal per-image
+    XLA pooling, including GROUP padding of the ROI dim."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    b = 3
+    fmaps = [rng.standard_normal((b, 128 >> i, 128 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = rng.uniform(0, 200, (b, 5, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[..., :2], rois[..., 2:]),
+                           np.maximum(rois[..., :2], rois[..., 2:]) + 2],
+                          axis=-1)
+    got = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    for i in range(b):
+        want = np.asarray(multilevel_roi_align(
+            [jnp.asarray(f[i]) for f in fmaps], jnp.asarray(rois[i]),
+            scales, out_size=7))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
