@@ -37,7 +37,7 @@ def build_detector_fns(cfg: Config,
     auto-partition under plain GSPMD jit."""
     det = cfg.detector
     # resolve roi_backend='auto' here, once, against the live platform
-    # (ADVICE r2: never inside module setup) — pallas on TPU, xla
+    # (ADVICE r2: never inside module setup) — canvas on TPU, xla
     # elsewhere
     from ekaid_tpu.utils.platform import resolve_roi_backend
     det = det.replace(roi_backend=resolve_roi_backend(det.roi_backend))

@@ -158,13 +158,13 @@ def main():
         @jax.jit
         def fwd_step(params, batch, rng, carry):
             b2 = dict(batch)
-            b2["bef_feats"] = b2["bef_feats"] + 1e-7 * carry
+            b2["d_feats"] = b2["d_feats"] + 1e-7 * carry
             return fwd_only(params, b2, rng).astype(jnp.float32)
 
         @jax.jit
         def fwdbwd_step(params, batch, rng, carry):
             b2 = dict(batch)
-            b2["bef_feats"] = b2["bef_feats"] + 1e-7 * carry
+            b2["d_feats"] = b2["d_feats"] + 1e-7 * carry
             loss, gsum = fwd_bwd(params, b2, rng)
             return (loss + 1e-30 * gsum).astype(jnp.float32)
 
