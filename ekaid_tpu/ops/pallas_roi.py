@@ -220,7 +220,8 @@ def _roi_geometry(flat_rois, scales, heights, out_size: int, s: int,
 
 def _make_canvas_kernel(out_size: int, sampling_ratio: int,
                         num_levels: int, heights: tuple, x_off: tuple,
-                        group: int, n_chunks: int):
+                        group: int, n_chunks: int,
+                        pooling: str = "separable"):
     """Whole-pyramid-in-VMEM variant: levels are DMA'd ONCE per image
     into a canvas scratch (side by side along x), and every ROI slices
     its 48×56 patch from VMEM — no per-ROI HBM traffic at all. The
@@ -307,13 +308,27 @@ def _make_canvas_kernel(out_size: int, sampling_ratio: int,
                            pl.ds(pl.multiple_of(meta_s[2 * r + 1], 8),
                                  PATCH_X), :]
             c = patch.shape[-1]
-            t = jnp.dot(a_y.astype(patch.dtype),
-                        patch.reshape(PATCH_Y, PATCH_X * c),
-                        preferred_element_type=jnp.float32)
-            t = t.reshape(out_size, PATCH_X, c)
-            o = jax.lax.dot_general(b_x, t,
-                                    (((1,), (1,)), ((), ())))
-            out_ref[j] = o.transpose(1, 0, 2).astype(out_ref.dtype)
+            if pooling == "kron":
+                # one fused matmul: W[oy·os+ox, y·PX+x] =
+                # a_y[oy,y]·b_x[ox,x] — 7x the separable FLOPs but a
+                # single K=2688 MXU pass per ROI and no output
+                # transpose (y-major W matches patch.reshape order)
+                w = (a_y[:, None, :, None]
+                     * b_x[None, :, None, :]).reshape(
+                         out_size * out_size, PATCH_Y * PATCH_X)
+                o = jnp.dot(w.astype(patch.dtype),
+                            patch.reshape(PATCH_Y * PATCH_X, c),
+                            preferred_element_type=jnp.float32)
+                out_ref[j] = o.reshape(out_size, out_size, c).astype(
+                    out_ref.dtype)
+            else:
+                t = jnp.dot(a_y.astype(patch.dtype),
+                            patch.reshape(PATCH_Y, PATCH_X * c),
+                            preferred_element_type=jnp.float32)
+                t = t.reshape(out_size, PATCH_X, c)
+                o = jax.lax.dot_general(b_x, t,
+                                        (((1,), (1,)), ((), ())))
+                out_ref[j] = o.transpose(1, 0, 2).astype(out_ref.dtype)
 
     return kernel
 
@@ -324,7 +339,8 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
                                 out_size: int = 7,
                                 sampling_ratio: int = 2,
                                 min_level: int = 2,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                pooling: str = "separable") -> jnp.ndarray:
     """Canvas variant of multilevel_roi_align_pallas (same contract and
     ROI geometry/level-bump semantics). Requires the whole pyramid of
     one image to fit VMEM (~66 MB at 1024²/C=256 bf16) — the extraction
@@ -365,7 +381,7 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
             return multilevel_roi_align_canvas(
                 list(fmaps), blk, scales, out_size=out_size,
                 sampling_ratio=sampling_ratio, min_level=min_level,
-                interpret=interpret)
+                interpret=interpret, pooling=pooling)
 
         out = jax.lax.map(one_blk, blocks)
         out = jnp.swapaxes(out, 0, 1).reshape(
@@ -419,7 +435,8 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
         "use the patch-DMA or XLA roi backend for this geometry")
     out = pl.pallas_call(
         _make_canvas_kernel(out_size, sampling_ratio, num_levels,
-                            heights, x_off, group, n_chunks),
+                            heights, x_off, group, n_chunks,
+                            pooling=pooling),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * rp, out_size, out_size, C),
                                        dt),

@@ -40,6 +40,9 @@ def main():
                    help="run a single impl (substring match)")
     p.add_argument("--batch", type=int, default=1,
                    help=">1 pools batch*rois ROIs in one batched call")
+    p.add_argument("--pooling", default="separable",
+                   choices=["separable", "kron"],
+                   help="canvas per-ROI pooling form (A/B)")
     p.add_argument("--channels", type=int, default=256)
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
@@ -99,7 +102,7 @@ def main():
                  list(fm), b, scales)),
             ("pallas_canvas",
              lambda fm, b: multilevel_roi_align_canvas(
-                 list(fm), b, scales))]:
+                 list(fm), b, scales, pooling=a.pooling))]:
         if a.only and a.only not in name:
             continue
         # fmaps MUST cross the jit boundary as arguments: a closure

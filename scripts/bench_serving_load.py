@@ -74,6 +74,18 @@ def main():
                     help="shrunken config (CPU smoke)")
     a = ap.parse_args()
 
+    import socket
+    if not os.environ.get("EKAID_PLATFORM"):
+        # relay guard (memory: axon-tpu-quirks) — a dead relay makes
+        # device init hang indefinitely, not fail
+        try:
+            socket.create_connection(("127.0.0.1", 8083),
+                                     timeout=3).close()
+        except OSError:
+            print(json.dumps({"error": "axon relay down; set "
+                              "EKAID_PLATFORM=cpu to run on CPU"}))
+            sys.exit(1)
+
     from ekaid_tpu.utils.platform import (apply_platform_env,
                                           enable_compile_cache)
     apply_platform_env()

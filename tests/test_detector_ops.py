@@ -517,3 +517,23 @@ def test_canvas_roi_batched_matches_per_image(rng):
             [jnp.asarray(f[i]) for f in fmaps], jnp.asarray(rois[i]),
             scales, out_size=7))
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_canvas_roi_kron_pooling_matches(rng):
+    """pooling='kron' (single fused per-ROI matmul) must match the
+    separable two-matmul form exactly in f32."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [rng.standard_normal((128 >> i, 128 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = rng.uniform(0, 400, (6, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[:, :2], rois[:, 2:]),
+                           np.maximum(rois[:, :2], rois[:, 2:]) + 2],
+                          axis=-1)
+    sep = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    kron = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True, pooling="kron"))
+    np.testing.assert_allclose(kron, sep, rtol=1e-5, atol=1e-6)
