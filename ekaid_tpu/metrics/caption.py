@@ -20,10 +20,12 @@ Semantics follow the COCO caption evaluation definitions:
     an answer vocabulary). The alignment is the jar's own search: beam
     over partial alignments maximizing covered words, then minimizing
     chunks, then minimizing summed match-position distance (beam 40).
-    DOCUMENTED DEVIATION: the paraphrase module is omitted (60 MB
-    corpus table); `meteor_lite` (exact+stem, 2005 parameters) remains
-    as the fast fallback. The lite-vs-1.5 delta is pinned in
-    tests/test_metrics.py.
+    All four jar matcher modules run, including paraphrase (phrase
+    spans, weight 0.6) over a pluggable table — bundled: a domain
+    mini-subset; `load_paraphrase_table` ingests the jar's 60 MB
+    paraphrase-en.gz for bit-parity. `meteor_lite` (exact+stem, 2005
+    parameters) remains as the fast fallback. The lite-vs-1.5 delta is
+    pinned in tests/test_metrics.py.
 
 Tokenization mirrors PTBTokenizer's observable behavior on this corpus:
 lowercase, split, drop pure-punctuation tokens.
@@ -333,9 +335,9 @@ def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
     (beam 40). Stages in module order: 0 exact, 1 stem, 2 synonym.
     Returns (pairs [(hyp_i, ref_j, stage)], chunks).
 
-    The omitted paraphrase module is the one remaining jar deviation
-    (its table is a 60 MB corpus artifact); with word-level modules only
-    every match is 1-1, which this search requires.
+    Word modules only — every match is 1-1, which this search requires;
+    the paraphrase module's span matches live in _meteor15_align_spans,
+    which defers here when no phrase candidates fire.
     """
     nat = _native()
     if nat is not None and all(
@@ -387,26 +389,129 @@ def _meteor15_align(hyp: List[str], ref: List[str], syn_idx):
     return list(best[6]), best[1]
 
 
+def _phrase_candidates(hyp, ref, para_idx, max_plen):
+    """Paraphrase-stage span candidates [(i, hlen, j, rlen)]:
+    hyp[i:i+hlen] and ref[j:j+rlen] are a table pair (share a pair id).
+    Identical single words are left to the exact stage."""
+    def spans(toks):
+        found = {}
+        for a in range(len(toks)):
+            for ln in range(1, min(max_plen, len(toks) - a) + 1):
+                ids = para_idx.get(tuple(toks[a:a + ln]))
+                if ids:
+                    found[(a, ln)] = ids
+        return found
+
+    rspans = spans(ref)
+    if not rspans:
+        return []
+    out = []
+    for (i, hl), hids in spans(hyp).items():
+        for (j, rl), rids in rspans.items():
+            # a match is the two DIFFERENT members of a table pair —
+            # identical spans are the exact word module's business
+            if hids & rids and tuple(hyp[i:i + hl]) != tuple(
+                    ref[j:j + rl]):
+                out.append((i, hl, j, rl))
+    return out
+
+
+def _meteor15_align_spans(hyp: List[str], ref: List[str], syn_idx,
+                          para_idx=None, max_plen: int = 1):
+    """Span-general alignment adding the jar's 4th matcher module
+    (paraphrase, stage 3): matches are (hyp_i, hyp_len, ref_j, ref_len,
+    stage); word-module matches are 1-1 spans. Resolution criteria
+    generalize the word case per the jar's Aligner: maximize total
+    covered words (both sides), then minimize chunks (a span match is
+    contiguous with the previous match iff both its start positions
+    equal the previous match's end positions), then minimize summed
+    start-position distance. Returns (spans, chunks, matched_hyp_words,
+    matched_ref_words).
+
+    With no paraphrase candidates this defers to the word-level search
+    (including its C++ fast path) — numerics are bit-identical to the
+    paraphrase-free implementation there."""
+    phrase = (_phrase_candidates(hyp, ref, para_idx, max_plen)
+              if para_idx else [])
+    if not phrase:
+        pairs, chunks = _meteor15_align(hyp, ref, syn_idx)
+        spans = [(i, 1, j, 1, s) for i, j, s in pairs]
+        return spans, chunks, len(pairs), len(pairs)
+
+    cands = _meteor_candidates(hyp, ref, syn_idx)
+    word_js = [{j for j, _ in row} for row in cands]
+    by_start: List[list] = [[] for _ in hyp]
+    for i, hl, j, rl in phrase:
+        if hl == 1 and rl == 1 and j in word_js[i]:
+            continue                 # 1-1 pair already has a word stage
+        by_start[i].append((hl, j, rl))
+
+    # state: (covered, chunks, dist, hyp_end, ref_end, ref_used_mask,
+    #         next_free_hyp, spans); beam-pruned left to right in hyp
+    states = [(0, 0, 0, -2, -2, 0, 0, ())]
+    for i in range(len(hyp)):
+        nxt = []
+        for st in states:
+            cov, ch, dist, he, re_, used, nh, spans = st
+            if nh != i:              # a phrase match already covers i
+                nxt.append(st)
+                continue
+            nxt.append((cov, ch, dist, he, re_, used, i + 1, spans))
+            for j, stage in cands[i]:
+                if used >> j & 1:
+                    continue
+                adj = (he == i) and (re_ == j)
+                nxt.append((cov + 2, ch + (0 if adj else 1),
+                            dist + abs(i - j), i + 1, j + 1,
+                            used | (1 << j), i + 1,
+                            spans + ((i, 1, j, 1, stage),)))
+            for hl, j, rl in by_start[i]:
+                rmask = ((1 << rl) - 1) << j
+                if used & rmask:
+                    continue
+                adj = (he == i) and (re_ == j)
+                nxt.append((cov + hl + rl, ch + (0 if adj else 1),
+                            dist + abs(i - j), i + hl, j + rl,
+                            used | rmask, i + hl,
+                            spans + ((i, hl, j, rl, 3),)))
+        nxt.sort(key=lambda s: (-s[0], s[1], s[2]))
+        states = nxt[:_METEOR_BEAM]
+    best = max(states, key=lambda s: (s[0], -s[1], -s[2]))
+    spans = list(best[7])
+    return (spans, best[1], sum(s[1] for s in spans),
+            sum(s[3] for s in spans))
+
+
 def meteor15(gts, res, alpha: float = 0.85, beta: float = 0.2,
              gamma: float = 0.6, delta: float = 0.75,
-             weights=(1.0, 0.6, 0.8), synonyms=None,
-             function_words=None):
+             weights=(1.0, 0.6, 0.8, 0.6), synonyms=None,
+             function_words=None, paraphrases=None):
     """METEOR-1.5 scoring (the configuration the reference's
     pycocoevalcap jar runs: English rank task — alpha .85, beta .2,
     gamma .6, delta .75, module weights exact 1.0 / stem 0.6 /
-    synonym 0.8; evaluation.py:42).
+    synonym 0.8 / paraphrase 0.6; evaluation.py:42).
 
     Weighted precision/recall with content/function-word delta
-    weighting, harmonic Fmean, fragmentation penalty gamma·(ch/m)^beta,
-    best reference per segment, averaged over segments. The paraphrase
-    module (weight 0.6) is not implemented — its table is a 60 MB
-    corpus artifact; synonyms/function_words are pluggable
-    (metrics/meteor_resources.py)."""
+    weighting (a phrase match contributes each covered word at its
+    module weight), harmonic Fmean, fragmentation penalty
+    gamma·(ch/m)^beta with m = the matched-word count averaged over
+    hyp and ref sides (equal for word-only alignments), best reference
+    per segment, averaged over segments. All four jar matcher modules
+    run; synonyms/function_words/paraphrases are pluggable
+    (metrics/meteor_resources.py — the bundled paraphrase table is a
+    domain mini-subset; `load_paraphrase_table` ingests the jar's
+    60 MB paraphrase-en.gz for bit-parity users, pass
+    `paraphrases=()` to disable the stage)."""
     from ekaid_tpu.metrics.meteor_resources import (FUNCTION_WORDS,
+                                                    paraphrase_index,
                                                     synonym_index)
     syn_idx = synonym_index(synonyms)
+    para_idx, max_plen = paraphrase_index(paraphrases)
     fw = (FUNCTION_WORDS if function_words is None
           else frozenset(function_words))
+
+    def dw(word):
+        return delta if word not in fw else 1 - delta
 
     def wlen(tokens):
         nc = sum(1 for t in tokens if t not in fw)
@@ -419,22 +524,20 @@ def meteor15(gts, res, alpha: float = 0.85, beta: float = 0.2,
         for ref in gts[img]:
             if not cand or not ref:
                 continue
-            pairs, ch = _meteor15_align(cand, ref, syn_idx)
-            m = len(pairs)
-            if m == 0:
+            spans, ch, mh, mr = _meteor15_align_spans(
+                cand, ref, syn_idx, para_idx, max_plen)
+            if not spans:
                 continue
-            wp = sum(weights[s] * (delta if cand[i] not in fw
-                                   else 1 - delta)
-                     for i, j, s in pairs)
-            wr = sum(weights[s] * (delta if ref[j] not in fw
-                                   else 1 - delta)
-                     for i, j, s in pairs)
+            wp = sum(weights[s] * sum(dw(cand[i + t]) for t in range(hl))
+                     for i, hl, j, rl, s in spans)
+            wr = sum(weights[s] * sum(dw(ref[j + t]) for t in range(rl))
+                     for i, hl, j, rl, s in spans)
             p = wp / max(wlen(cand), 1e-9)
             r = wr / max(wlen(ref), 1e-9)
             if p + r == 0:
                 continue
             fmean = p * r / (alpha * p + (1 - alpha) * r)
-            pen = gamma * (ch / m) ** beta
+            pen = gamma * (ch / (0.5 * (mh + mr))) ** beta
             best = max(best, fmean * (1 - pen))
         scores[img] = best
     mean = sum(scores.values()) / max(len(scores), 1)

@@ -12,9 +12,12 @@ Neither the jar nor WordNet is available in this environment, so:
     plus the MIMIC-Diff-VQA answer-vocabulary domain (the shipped vocab
     is 147 words, model/data/vocab_mimic_VQA.json). Each inner set is
     one synset; words sharing any synset match in the synonym stage.
+  * PARAPHRASES — a mini phrase-pair table for the jar's paraphrase
+    module (see below).
 
-Both are pluggable: `meteor15(..., synonyms=..., function_words=...)`
-accepts replacements (e.g. a full WordNet export) for users who need
+All are pluggable: `meteor15(..., synonyms=..., function_words=...,
+paraphrases=...)` accepts replacements (e.g. a full WordNet export, or
+`load_paraphrase_table('paraphrase-en.gz')`) for users who need
 bit-parity with the jar.
 """
 
@@ -92,6 +95,80 @@ SYNONYMS = [
     # adverbs (WordNet besides.r.02)
     {"also", "besides", "too", "likewise"},
 ]
+
+
+# Paraphrase pairs (the jar's 4th matcher module, weight 0.6 in the
+# English rank task). The jar ships data/paraphrase-en.gz (~60 MB,
+# phrase pairs mined from parallel corpora); that artifact cannot be
+# bundled, so this is a mini subset curated for the answer/report
+# domain, and `load_paraphrase_table` ingests a full jar table for
+# bit-parity users. Each entry is an unordered pair of phrases
+# (whitespace-split into token tuples); matching is symmetric.
+PARAPHRASES = [
+    ("heart size", "cardiac silhouette"),
+    ("enlarged heart", "cardiomegaly"),
+    ("fluid in the lungs", "pulmonary edema"),
+    ("pleural effusion", "fluid"),
+    ("collapsed lung", "atelectasis"),
+    ("air in the pleural space", "pneumothorax"),
+    ("breathing tube", "endotracheal tube"),
+    ("x ray", "radiograph"),
+    ("chest x ray", "chest radiograph"),
+    ("no change", "unchanged"),
+    ("got better", "improved"),
+    ("got worse", "worsened"),
+    ("is present", "is seen"),
+    ("left side", "left"),
+    ("right side", "right"),
+]
+
+
+def paraphrase_index(pairs=None):
+    """phrase (token tuple) -> set of pair ids, for the aligner's
+    paraphrase stage. Two phrases match iff they share a pair id.
+    Returns (index, max_phrase_len)."""
+    idx = {}
+    max_len = 1
+    for pid, (a, b) in enumerate(pairs if pairs is not None
+                                 else PARAPHRASES):
+        for phrase in (a, b):
+            toks = tuple(phrase.split() if isinstance(phrase, str)
+                         else phrase)
+            idx.setdefault(toks, set()).add(pid)
+            max_len = max(max_len, len(toks))
+    return idx, max_len
+
+
+def load_paraphrase_table(path):
+    """Read a METEOR paraphrase table into [(phrase, phrase)] for
+    `meteor15(..., paraphrases=...)`.
+
+    Accepts the jar's `paraphrase-en.gz` (gzip or plain). Field
+    delimiter is auto-detected per line (`|||` or tab); purely numeric
+    fields (translation probabilities some table builds carry) are
+    dropped, and the first two remaining fields are the phrase pair.
+    Lines with fewer than two phrase fields are skipped."""
+    import gzip
+    import io
+    opener = gzip.open if str(path).endswith(".gz") else open
+    pairs = []
+    with opener(path, "rb") as fh:
+        for raw in io.TextIOWrapper(fh, encoding="utf-8",
+                                    errors="replace"):
+            parts = (raw.split("|||") if "|||" in raw
+                     else raw.split("\t"))
+            fields = []
+            for p in parts:
+                p = p.strip()
+                if not p:
+                    continue
+                try:
+                    float(p)
+                except ValueError:
+                    fields.append(p)
+            if len(fields) >= 2:
+                pairs.append((fields[0], fields[1]))
+    return pairs
 
 
 def synonym_index(synsets=None):

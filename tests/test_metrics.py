@@ -303,3 +303,68 @@ def test_derive_vocab_synonyms_reference_vocab():
     derived = derive_vocab_synonyms(vocab)
     assert sorted(tuple(sorted(s)) for s in derived) == [
         ("area", "region")]
+
+
+def test_meteor15_paraphrase_stage():
+    """Paraphrase module (jar's 4th matcher, weight .6): a 1<->2-word
+    table pair must align as one span match. Hand-computed from the 1.5
+    formula: wp=.6*.75, wr=.6*1.5, p=r=.6, Fmean=.6, m=(1+2)/2,
+    pen=.6*(1/1.5)^.2."""
+    from ekaid_tpu.metrics.caption import meteor15
+
+    mean, _ = meteor15({"a": [["collapsed", "lung"]]},
+                       {"a": ["atelectasis"]})
+    pen = 0.6 * (1 / 1.5) ** 0.2
+    np.testing.assert_allclose(mean, 0.6 * (1 - pen), atol=1e-9)
+
+    # stage disabled via paraphrases=() -> no match at all here
+    mean, _ = meteor15({"a": [["collapsed", "lung"]]},
+                       {"a": ["atelectasis"]}, paraphrases=())
+    assert mean == 0.0
+
+
+def test_meteor15_paraphrase_span_alignment():
+    """Span matches interact with word matches and chunk adjacency:
+    'left side' <-> 'left' (table pair) then adjacent 'improved' must
+    form ONE chunk and beat the 2-chunk word-only alignment on covered
+    words (5 > 4)."""
+    from ekaid_tpu.metrics.caption import _meteor15_align_spans
+    from ekaid_tpu.metrics.meteor_resources import paraphrase_index
+
+    para_idx, mp = paraphrase_index()
+    spans, chunks, mh, mr = _meteor15_align_spans(
+        ["left", "side", "improved"], ["left", "improved"], {},
+        para_idx, mp)
+    assert (0, 2, 0, 1, 3) in spans and (2, 1, 1, 1, 0) in spans
+    assert chunks == 1 and mh == 3 and mr == 2
+
+
+def test_meteor15_identical_phrases_use_exact_stage():
+    """A table phrase appearing verbatim on BOTH sides must not be
+    demoted to a paraphrase match — exact word matches score higher and
+    the jar's table pairs two DIFFERENT strings."""
+    from ekaid_tpu.metrics.caption import meteor15
+
+    toks = ["pleural", "effusion", "worsened"]
+    mean, _ = meteor15({"a": [toks]}, {"a": toks})
+    pen = 0.6 * (1 / 3) ** 0.2
+    np.testing.assert_allclose(mean, 1 - pen, atol=1e-9)
+
+
+def test_load_paraphrase_table(tmp_path):
+    """Loader handles the jar table formats: '|||'-delimited with
+    probability fields, and plain tab-delimited."""
+    from ekaid_tpu.metrics.caption import meteor15
+    from ekaid_tpu.metrics.meteor_resources import load_paraphrase_table
+
+    p = tmp_path / "para.txt"
+    p.write_text("0.3 ||| heart size ||| cardiac silhouette\n"
+                 "x ray\tradiograph\n"
+                 "malformed-line\n")
+    pairs = load_paraphrase_table(p)
+    assert ("heart size", "cardiac silhouette") in pairs
+    assert ("x ray", "radiograph") in pairs and len(pairs) == 2
+
+    mean, _ = meteor15({"a": [["x", "ray"]]}, {"a": ["radiograph"]},
+                       paraphrases=pairs)
+    assert mean > 0.0
