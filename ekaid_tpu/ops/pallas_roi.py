@@ -340,11 +340,15 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
                                 sampling_ratio: int = 2,
                                 min_level: int = 2,
                                 interpret: bool = False,
-                                pooling: str = "separable") -> jnp.ndarray:
+                                pooling: str = "separable",
+                                group: int = 8) -> jnp.ndarray:
     """Canvas variant of multilevel_roi_align_pallas (same contract and
     ROI geometry/level-bump semantics). Requires the whole pyramid of
     one image to fit VMEM (~66 MB at 1024²/C=256 bf16) — the extraction
-    geometry; use the patch-DMA or XLA backends otherwise."""
+    geometry; use the patch-DMA or XLA backends otherwise.
+
+    `group` = ROIs pooled per grid step (unrolled in the kernel);
+    amortizes per-step overhead against kernel code size."""
     batched = rois.ndim == 3
     if not batched:
         fmaps = [f[None] for f in fmaps]
@@ -365,7 +369,6 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
 
     C = fmaps[0].shape[-1]
     dt = fmaps[0].dtype
-    group = 8
 
     # ROI-count guard (SMEM prefetch budget): chunk the ROI dim
     max_rois = 16384
@@ -381,7 +384,7 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
             return multilevel_roi_align_canvas(
                 list(fmaps), blk, scales, out_size=out_size,
                 sampling_ratio=sampling_ratio, min_level=min_level,
-                interpret=interpret, pooling=pooling)
+                interpret=interpret, pooling=pooling, group=group)
 
         out = jax.lax.map(one_blk, blocks)
         out = jnp.swapaxes(out, 0, 1).reshape(

@@ -43,6 +43,8 @@ def main():
     p.add_argument("--pooling", default="separable",
                    choices=["separable", "kron"],
                    help="canvas per-ROI pooling form (A/B)")
+    p.add_argument("--group", type=int, default=8,
+                   help="canvas ROIs per grid step (sweep)")
     p.add_argument("--channels", type=int, default=256)
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
@@ -102,7 +104,8 @@ def main():
                  list(fm), b, scales)),
             ("pallas_canvas",
              lambda fm, b: multilevel_roi_align_canvas(
-                 list(fm), b, scales, pooling=a.pooling))]:
+                 list(fm), b, scales, pooling=a.pooling,
+                 group=a.group))]:
         if a.only and a.only not in name:
             continue
         # fmaps MUST cross the jit boundary as arguments: a closure

@@ -537,3 +537,25 @@ def test_canvas_roi_kron_pooling_matches(rng):
         [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
         out_size=7, interpret=True, pooling="kron"))
     np.testing.assert_allclose(kron, sep, rtol=1e-5, atol=1e-6)
+
+
+def test_canvas_roi_group_sizes_match(rng):
+    """group (ROIs per grid step) is a pure performance knob — results
+    must be identical across group sizes, including when the ROI count
+    is not a multiple of the group (padding path)."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [rng.standard_normal((128 >> i, 128 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = rng.uniform(0, 400, (11, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[:, :2], rois[:, 2:]),
+                           np.maximum(rois[:, :2], rois[:, 2:]) + 2],
+                          axis=-1)
+    base = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True, group=8))
+    for g in (2, 16):
+        got = np.asarray(multilevel_roi_align_canvas(
+            [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+            out_size=7, interpret=True, group=g))
+        np.testing.assert_array_equal(got, base)
