@@ -256,6 +256,12 @@ class DetectorConfig:
     # scale/bias params of the same names)
     norm: str = "gn"
     stride_in_1x1: bool = False
+    # stem 7×7/s2 conv computed as an exactly-equivalent 4×4/s1 conv on
+    # a 2×2 space-to-depth input (the MLPerf-ResNet TPU stem rewrite —
+    # C_in=3 underfills the MXU contraction lanes). Pure perf knob:
+    # same params, same outputs (tests/test_detector_model.py); applies
+    # to training AND inference. Default off pending on-chip A/B.
+    s2d_stem: bool = False
     # input normalization applied ON-DEVICE by the extraction fns:
     # 'unit' = RGB in [0,1] (the from-scratch training convention);
     # 'detectron2' = caffe-BGR 0-255 mean-subtracted (zoo R50-FPN

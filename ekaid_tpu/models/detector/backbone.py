@@ -16,8 +16,9 @@ ekaid_tpu.tools.torch_convert.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Any, Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -82,19 +83,71 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class SpaceToDepthStem(nn.Module):
+    """The 7×7/s2 stem conv computed as an algebraically-identical
+    4×4/s1 conv on a 2×2 space-to-depth input — the classic TPU stem
+    rewrite (MLPerf ResNet): C_in=3 leaves the MXU's contraction lanes
+    ~98% idle; s2d quadruples the depth (3→12) and quarters the spatial
+    extent, with bit-compatible semantics.
+
+    Derivation: out[i,j] = Σ_{ky,kx,c} w[ky,kx,c] x[2i+ky−3, 2j+kx−3, c]
+    (pad 3). Substituting 2i+ky−3 = 2(i+ku−2) + dy with ky = 2ku+dy−1,
+    ku∈[0,4), dy∈{0,1} maps every tap once (ku=0,dy=0 ⇒ ky=−1 is a zero
+    weight), giving a 4×4 stride-1 conv over the s2d grid with
+    asymmetric padding (2,1). The parameter keeps the reference
+    [7,7,C,64] layout — checkpoints and the Detectron2 converter are
+    unaffected by the knob."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w_, c = x.shape
+        assert h % 2 == 0 and w_ % 2 == 0, "s2d stem needs even H, W"
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (7, 7, c, self.features))
+        # kernel transform: [7,7,C,O] -> [4,4,2,2,C,O] -> [4,4,4C,O]
+        w2 = jnp.zeros((4, 4, 2, 2, c, self.features), w.dtype)
+        for ku in range(4):
+            for dy in range(2):
+                ky = 2 * ku + dy - 1
+                if not 0 <= ky < 7:
+                    continue
+                for kv in range(4):
+                    for dx in range(2):
+                        kx = 2 * kv + dx - 1
+                        if 0 <= kx < 7:
+                            w2 = w2.at[ku, kv, dy, dx].set(w[ky, kx])
+        w2 = w2.reshape(4, 4, 4 * c, self.features)
+        # space-to-depth: [B,H,W,C] -> [B,H/2,W/2,4C], channel index
+        # dy·2C + dx·C + c (must match the kernel reshape above)
+        x2 = x.reshape(b, h // 2, 2, w_ // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 2, w_ // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), w2.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     depths: Sequence[int] = (3, 4, 6, 3)       # ResNet-50
     channels: Sequence[int] = (256, 512, 1024, 2048)
     norm: str = "gn"
     stride_in_1x1: bool = False
+    s2d_stem: bool = False
     policy: Policy = F32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         dt = self.policy.compute_dtype
         x = self.policy.cast_compute(x)
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=dt, name="stem_conv")(x)
+        if self.s2d_stem:
+            x = SpaceToDepthStem(64, dtype=dt, name="stem_conv")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        dtype=dt, name="stem_conv")(x)
         x = nn.relu(make_norm(self.norm, 64, self.policy, "stem_norm")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = {}
@@ -116,12 +169,14 @@ class ResNetFPN(nn.Module):
     out_channels: int = 256
     norm: str = "gn"
     stride_in_1x1: bool = False
+    s2d_stem: bool = False
     policy: Policy = F32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         dt = self.policy.compute_dtype
         c = ResNet(norm=self.norm, stride_in_1x1=self.stride_in_1x1,
+                   s2d_stem=self.s2d_stem,
                    policy=self.policy, name="resnet")(x)
         laterals = {}
         for lvl in (2, 3, 4, 5):

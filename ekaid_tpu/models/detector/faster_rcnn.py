@@ -40,6 +40,8 @@ class FasterRCNN(nn.Module):
     def setup(self):
         self.backbone = ResNetFPN(self.cfg.fpn_channels, norm=self.norm,
                                   stride_in_1x1=self.stride_in_1x1,
+                                  s2d_stem=getattr(self.cfg, "s2d_stem",
+                                                   False),
                                   policy=self.policy, name="backbone")
         self.rpn = RPNHead(policy=self.policy, name="rpn")
         # 'auto' is resolved ONCE at the config/runner layer

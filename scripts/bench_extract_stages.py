@@ -47,6 +47,8 @@ def main():
     p.add_argument("--rpn_topk", default=None,
                    choices=["exact", "approx"],
                    help="override detector.rpn_topk")
+    p.add_argument("--s2d", action="store_true",
+                   help="space-to-depth stem rewrite (A/B)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -76,6 +78,8 @@ def main():
         a.roi or resolve_roi_backend(det.roi_backend)))
     if a.rpn_topk:
         det = det.replace(rpn_topk=a.rpn_topk)
+    if a.s2d:
+        det = det.replace(s2d_stem=True)
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = FasterRCNN(det, num_classes=det.num_anatomy_classes,
                        norm=(a.norm or det.norm), policy=policy)

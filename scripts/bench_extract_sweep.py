@@ -42,6 +42,8 @@ def main():
     p.add_argument("--norm", default=None, choices=["gn", "frozen_bn"],
                    help="backbone norm (frozen_bn = the converted-"
                         "checkpoint deployment path)")
+    p.add_argument("--s2d", action="store_true",
+                   help="space-to-depth stem rewrite (A/B)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -69,6 +71,8 @@ def main():
             image_size=a.image_size))
     if a.norm:
         cfg = cfg.replace(detector=cfg.detector.replace(norm=a.norm))
+    if a.s2d:
+        cfg = cfg.replace(detector=cfg.detector.replace(s2d_stem=True))
     det = cfg.detector
     rng = np.random.default_rng(0)
 

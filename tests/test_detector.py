@@ -205,3 +205,38 @@ def test_rpn_approx_topk_matches_exact_on_cpu():
     assert outs["exact"][1].sum() == outs["approx"][1].sum()
     np.testing.assert_allclose(outs["exact"][0], outs["approx"][0],
                                rtol=1e-5)
+
+
+def test_s2d_stem_is_exact(rng):
+    """s2d_stem is a pure perf rewrite: the SAME [7,7,3,64] stem kernel
+    must produce the 7x7/s2 conv's output through the 4x4/s1
+    space-to-depth formulation, including image borders (asymmetric
+    (2,1) padding vs symmetric pad-3). Tight tolerance on the stem op
+    itself (only summation order differs); looser through the full
+    50-layer pyramid where the reordering noise compounds."""
+    from flax import linen as nn
+    from ekaid_tpu.models.detector.backbone import (ResNetFPN,
+                                                    SpaceToDepthStem)
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    conv = nn.Conv(16, (7, 7), strides=2, padding=3, use_bias=False,
+                   name="stem_conv")
+    cp = conv.init(jax.random.PRNGKey(0), x)
+    want = conv.apply(cp, x)
+    got = SpaceToDepthStem(16, name="stem_conv").apply(cp, x)
+    assert got.shape == want.shape == (2, 32, 32, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    base = ResNetFPN(out_channels=32, norm="gn", s2d_stem=False)
+    s2d = ResNetFPN(out_channels=32, norm="gn", s2d_stem=True)
+    params = base.init(jax.random.PRNGKey(0), x)
+    # identical param trees (checkpoint compatibility)
+    chex.assert_trees_all_equal_structs(
+        params, s2d.init(jax.random.PRNGKey(0), x))
+    wantp = base.apply(params, x)
+    gotp = s2d.apply(params, x)
+    for k in wantp:
+        np.testing.assert_allclose(np.asarray(gotp[k]),
+                                   np.asarray(wantp[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
