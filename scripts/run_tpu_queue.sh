@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# Round-3 on-chip measurement queue — run when the axon relay is live.
+# Single-flight (CLAUDE.md): each job runs alone with a generous
+# timeout; results append to $OUT as JSON lines with a tag field.
+# Usage: bash scripts/run_tpu_queue.sh [out_file]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/tpu_queue_results.jsonl}"
+
+probe() {
+  python - <<'EOF'
+import socket, sys
+try:
+    socket.create_connection(("127.0.0.1", 8083), timeout=3).close()
+except OSError:
+    sys.exit(1)
+EOF
+}
+
+run() {  # run <tag> <timeout_s> <cmd...>
+  local tag="$1" to="$2"; shift 2
+  if ! probe; then
+    echo "{\"tag\": \"$tag\", \"skipped\": \"relay down\"}" >> "$OUT"
+    return 1
+  fi
+  echo "=== $tag ==="
+  timeout "$to" "$@" 2>/tmp/tpu_queue_err.log | while IFS= read -r l; do
+    case "$l" in
+      \{*) echo "{\"tag\": \"$tag\", \"row\": $l}" >> "$OUT"; echo "$l";;
+      *) echo "$l";;
+    esac
+  done
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ]; then
+    echo "{\"tag\": \"$tag\", \"exit\": $rc}" >> "$OUT"
+  fi
+}
+
+# 1. canvas ROIAlign: kron pooling + group sweep (1000 ROIs, b1 + b8)
+run roi_base      1200 python scripts/bench_roi.py --only canvas
+run roi_kron      1200 python scripts/bench_roi.py --only canvas --pooling kron
+run roi_g16       1200 python scripts/bench_roi.py --only canvas --group 16
+run roi_kron_g16  1200 python scripts/bench_roi.py --only canvas --pooling kron --group 16
+run roi_b8_base   1800 python scripts/bench_roi.py --only canvas --batch 8
+run roi_b8_best   1800 python scripts/bench_roi.py --only canvas --batch 8 --pooling kron
+# 2. extraction stages: s2d stem A/B (also re-baselines post-kron)
+run ext_stages      2400 python scripts/bench_extract_stages.py --batch 8
+run ext_stages_s2d  2400 python scripts/bench_extract_stages.py --batch 8 --s2d
+# 3. extraction sweep with the winning knobs (edit flags per 1/2)
+run ext_sweep     2400 python scripts/bench_extract_sweep.py --batches 8,16
+# 4. profiles (trace dirs under /tmp/ekaid_traces)
+run prof_extract  2400 python scripts/profile_capture.py --target extract
+run prof_train    2400 python scripts/profile_capture.py --target train
+# 5. headline
+run bench         2400 python bench.py
+
+echo "queue done -> $OUT"
