@@ -40,7 +40,8 @@ def relay_up() -> bool:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--roi", default=None, choices=["pallas", "xla"],
+    p.add_argument("--roi", default=None,
+                   choices=["pallas", "canvas", "xla"],
                    help="override detector.roi_backend")
     p.add_argument("--norm", default=None,
                    help="override detector.norm (gn|frozen_bn)")

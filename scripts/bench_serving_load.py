@@ -112,11 +112,12 @@ def main():
     trainer = build_synthetic_trainer(cfg, "/tmp/ekaid_load", n_pairs=64)
 
     results = {}
-    for mode, make in (
-            ("single_flight", lambda: InferenceEngine(trainer)),
-            (f"coalesce_{a.coalesce}",
-             lambda: CoalescingEngine(trainer,
-                                      coalesce_batch=a.coalesce))):
+    modes = [("single_flight", lambda: InferenceEngine(trainer))]
+    if a.coalesce > 0:                # 0 = batch-1 engine only
+        modes.append((f"coalesce_{a.coalesce}",
+                      lambda: CoalescingEngine(trainer,
+                                               coalesce_batch=a.coalesce)))
+    for mode, make in modes:
         engine = make()
         server = ThreadingHTTPServer(("127.0.0.1", 0),
                                      make_handler(engine))
@@ -131,9 +132,10 @@ def main():
         server.shutdown()
 
     sf = results["single_flight"]["answers_per_sec"]
-    co = results[f"coalesce_{a.coalesce}"]["answers_per_sec"]
-    print(json.dumps({"speedup": round(co / sf, 2),
-                      "clients": a.clients}))
+    if a.coalesce > 0:
+        co = results[f"coalesce_{a.coalesce}"]["answers_per_sec"]
+        print(json.dumps({"speedup": round(co / sf, 2),
+                          "clients": a.clients}))
 
 
 if __name__ == "__main__":

@@ -71,14 +71,17 @@ def build_extract(a):
     images = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, (a.batch, det.image_size, det.image_size, 3)), jnp.float32)
 
+    # params/images cross the jit boundary as ARGUMENTS — closing over
+    # them embeds HLO constants (docs/STATUS r3: 44 MB programs, 413 s
+    # remote compiles, constant-folded fake timings)
     @jax.jit
-    def step(images, carry, i):
+    def step(params, images, carry, i):
         pert = images + 1e-7 * (carry + i)
         return model.apply(params, pert,
                            method="extract")["features"].sum().astype(
                                jnp.float32)
 
-    return step, (images,)
+    return step, (params, images)
 
 
 def build_decode(a):
@@ -100,13 +103,13 @@ def build_decode(a):
          "dropout": jax.random.PRNGKey(1)}, batch, train=True), policy)
 
     @jax.jit
-    def step(feats, carry, i):
+    def step(params, batch, carry, i):
         b = dict(batch)
-        b["d_feature"] = feats + 1e-6 * (carry + i)
+        b["d_feats"] = b["d_feats"] + 1e-6 * (carry + i)
         out = model.apply(params, b, method="decode", sample_max=True)
         return out["logprobs"].sum().astype(jnp.float32)
 
-    return step, (batch["d_feature"],)
+    return step, (params, batch)
 
 
 def build_train(a):
@@ -127,17 +130,17 @@ def build_train(a):
     batch = jax.tree.map(jnp.asarray,
                          synthetic_batch(cfg, a.batch, seed=0))
     state0 = init_state(model, tx, batch, jax.random.PRNGKey(0))
-    jstep = jax.jit(partial(train_step, model, tx,
-                            cfg.train.att_reg_weight, ss_prob=0.0))
+    tstep = partial(train_step, model, tx, cfg.train.att_reg_weight,
+                    ss_prob=0.0)
 
     @jax.jit
-    def step(feats, carry, i):
+    def step(state, batch, carry, i):
         b = dict(batch)
-        b["d_feature"] = feats + 1e-6 * (carry + i)
-        _, metrics = jstep(state0, b, jax.random.PRNGKey(1))
+        b["d_feats"] = b["d_feats"] + 1e-6 * (carry + i)
+        _, metrics = tstep(state, b, jax.random.PRNGKey(1))
         return metrics["total_loss"].astype(jnp.float32)
 
-    return step, (batch["d_feature"],)
+    return step, (state0, batch)
 
 
 # ---- minimal protobuf wire-format reader (no TF/xplane_pb2 in this
