@@ -51,7 +51,10 @@ run ext_sweep     2400 python scripts/bench_extract_sweep.py --batches 8,16
 # 4. profiles (trace dirs under /tmp/ekaid_traces)
 run prof_extract  2400 python scripts/profile_capture.py --target extract
 run prof_train    2400 python scripts/profile_capture.py --target train
-# 5. headline
+# 5. concurrent serving load (VERDICT #8 done-bar: >5x single-flight
+#    at bounded p99 with 16 clients)
+run serving_load  3600 python scripts/bench_serving_load.py --clients 16
+# 6. headline
 run bench         2400 python bench.py
 
 echo "queue done -> $OUT"
