@@ -206,3 +206,28 @@ def test_runner_on_device_preprocess_matches_helper():
         else:
             np.testing.assert_allclose(got_u8, f01, rtol=1e-6,
                                        atol=1e-6)
+
+
+def test_png_batches_parallel_matches_sequential(tmp_path):
+    """The threaded decode window must preserve sorted file order and
+    the static-shape tail padding exactly (runner.py::png_batches)."""
+    import numpy as np
+    from PIL import Image
+    from ekaid_tpu.extract.runner import png_batches
+
+    rng = np.random.default_rng(0)
+    for i in range(11):
+        arr = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+        Image.fromarray(arr, "L").save(tmp_path / f"im{i:02d}.png")
+
+    for bs in (4, 11):
+        seq = list(png_batches(str(tmp_path), 32, bs, workers=1))
+        par = list(png_batches(str(tmp_path), 32, bs, workers=4,
+                               prefetch=2))
+        assert len(seq) == len(par)
+        for a, b in zip(seq, par):
+            assert a.dtype == np.uint8 and a.shape == (bs, 32, 32, 3)
+            np.testing.assert_array_equal(a, b)
+        if bs == 4:
+            # 11 % 4 = 3 -> final batch carries one zero-pad row
+            assert (seq[-1][-1] == 0).all() and (par[-1][-1] == 0).all()
