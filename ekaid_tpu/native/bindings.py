@@ -60,8 +60,44 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib.meteor_align.argtypes = [i32p, i32p, i32p, i64,
                                  i32p, i32p, i32p, i64, i32p, i32p]
     lib.meteor_align.restype = i64
+    lib.gather_rows.argtypes = [ctypes.c_void_p, i64p, i64, i64,
+                                ctypes.c_void_p, i64]
+    lib.gather_rows_i64_i32.argtypes = [ctypes.c_void_p, i64p, i64, i64,
+                                        i32p, i64]
     _LIB = lib
     return lib
+
+
+_GATHER_THREADS = max(1, min(8, os.cpu_count() or 1))
+
+
+def gather_rows(base_addr: int, starts: np.ndarray, rowbytes: int,
+                out: np.ndarray) -> bool:
+    """Parallel GIL-free memcpy: out[i] = mem[starts[i]:+rowbytes].
+    base_addr is the mmap base address; the CALLER must keep the mapping
+    alive across the call. Returns False when the library is missing
+    (caller falls back to numpy slicing)."""
+    lib = _lib()
+    if lib is None:
+        return False
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    lib.gather_rows(base_addr, np.ascontiguousarray(starts, np.int64),
+                    len(starts), rowbytes, out.ctypes.data, _GATHER_THREADS)
+    return True
+
+
+def gather_rows_i64_i32(base_addr: int, starts: np.ndarray, rowelems: int,
+                        out: np.ndarray) -> bool:
+    """gather_rows fused with int64 -> int32 narrowing (the reference
+    adjacency dtype, combine_dicts.py:176-183)."""
+    lib = _lib()
+    if lib is None:
+        return False
+    assert out.dtype == np.int32 and out.flags.c_contiguous
+    lib.gather_rows_i64_i32(base_addr,
+                            np.ascontiguousarray(starts, np.int64),
+                            len(starts), rowelems, out, _GATHER_THREADS)
+    return True
 
 
 def available() -> bool:

@@ -116,6 +116,55 @@ def test_feature_mode_single_loc_moves_adj():
         s["d_adj"][:4, 4:], store_rec["adj"][8:12, 4:])
 
 
+def test_sample_batch_matches_per_sample(tmp_path):
+    """Vectorized sample_batch must be bit-identical to collating
+    per-sample sample() calls, for every feature mode, over the real
+    HDF5 store (batched fancy-index read path) — including duplicate
+    feature indices within a batch and the all-one-image broadcast
+    fast path."""
+    from ekaid_tpu.data.pipeline import H5FeatureStore
+    from ekaid_tpu.extract.pipeline import H5Writer
+    rng = np.random.default_rng(7)
+    w = H5Writer(str(tmp_path / "f.hdf5"), num_nodes=8, feat_dim=16,
+                 adj_pad=12)
+    w.append([{
+        "image_features": rng.standard_normal((8, 16)).astype(np.float32),
+        "image_bb": rng.uniform(0, 1024, (8, 4)).astype(np.float32),
+        "image_adj_matrix": rng.integers(0, 12, (12, 12)),
+        "semantic_adj_matrix": rng.integers(0, 3, (12, 12)),
+        "bbox_label": rng.integers(0, 49, 8),
+    } for _ in range(10)])
+    w.close()
+
+    for mode in ("both", "single_ana", "single_loc"):
+        cfg = small_cfg()
+        cfg = cfg.replace(data=cfg.data.replace(feature_mode=mode,
+                                                node_one_num=4))
+        ds = synthetic_dataset(cfg, "train", n_pairs=24)
+        ds.store = H5FeatureStore(str(tmp_path / "f.hdf5"))
+        # duplicates on purpose: idx 3 appears twice
+        ds.feature_idx = np.stack(
+            [rng.integers(0, 10, 24), rng.integers(0, 10, 24)],
+            -1).astype(np.int64)
+        ds.feature_idx[1] = ds.feature_idx[5] = (3, 3)
+
+        batch_idxs = np.array([0, 1, 5, 9])
+        batched = ds.sample_batch(batch_idxs)
+        loop = {k: np.stack([ds.sample(int(i))[k] for i in batch_idxs])
+                for k in batched}
+        assert set(batched) == set(loop)
+        for k in loop:
+            np.testing.assert_array_equal(batched[k], loop[k], err_msg=k)
+
+        # single-unique-image batch exercises the broadcast path
+        ds.feature_idx[:] = (2, 7)
+        batched = ds.sample_batch(batch_idxs)
+        loop = {k: np.stack([ds.sample(int(i))[k] for i in batch_idxs])
+                for k in batched}
+        for k in loop:
+            np.testing.assert_array_equal(batched[k], loop[k], err_msg=k)
+
+
 # --------------------------------------------------------- preprocess ---
 
 def test_transform_questions(tmp_path):
