@@ -7,8 +7,12 @@ its model path was only exercised at batch 64. Here the server is
 plain HTTP+JSON on the same default port with a *jitted batch-1*
 decode path (no replication), one compile at startup:
 
-  POST /question {"question": str, "index": optional int} ->
+  GET  /         -> browser demo client (serving/webui.py — the
+                    re-design of the reference's PyQt5 GUI)
+  POST /question {"question": str, "index": optional int,
+                  "detail": optional bool} ->
        {"answer": str, "index": int, "question_tokens": [...]}
+       (+ per-token "tokens"/"module_weights" when detail)
   POST /refresh  -> {"index": int}   (new random test pair)
   GET  /health   -> {"status": "ok", ...}
   GET  /sample?index=N -> the pair's ground-truth answers + question
@@ -94,8 +98,21 @@ class InferenceEngine:
         self.index = int(self.rng.choice(list(self.ds.split_idxs)))
         return self.index
 
+    def _detail_fields(self, seq: np.ndarray,
+                       mw: Optional[np.ndarray]) -> dict:
+        """Per-token words + [T, 3] before/diff/aft module attention for
+        the web client (decoder.py returns module_weights rows zeroed
+        past EOS, so trim both to the generated length)."""
+        n = int(np.argmax(seq == 0)) if (seq == 0).any() else len(seq)
+        tokens = [self.vocab.idx_to_word.get(int(i), "<unk>")
+                  for i in seq[:n]]
+        weights = (np.asarray(mw[:n], np.float64).round(4).tolist()
+                   if mw is not None else None)
+        return {"tokens": tokens, "module_weights": weights}
+
     def answer(self, question_text: Optional[str],
-               index: Optional[int] = None) -> dict:
+               index: Optional[int] = None,
+               detail: bool = False) -> dict:
         idx = self.index if index is None else int(index)
         qids = (self.question_to_ids(question_text)
                 if question_text else None)
@@ -104,10 +121,14 @@ class InferenceEngine:
                            self._batch_for(idx, qids))
         seq = np.asarray(out["seq"])[0]
         answer = self.vocab.decode(seq)
-        return {"answer": answer, "index": idx,
-                "latency_ms": round(1000 * (time.time() - t0), 2),
-                "question_tokens": (qids[qids > 0].tolist()
-                                    if qids is not None else None)}
+        res = {"answer": answer, "index": idx,
+               "latency_ms": round(1000 * (time.time() - t0), 2),
+               "question_tokens": (qids[qids > 0].tolist()
+                                   if qids is not None else None)}
+        if detail:
+            res.update(self._detail_fields(
+                seq, np.asarray(out["module_weights"])[0]))
+        return res
 
     def sample_info(self, index: Optional[int] = None) -> dict:
         idx = self.index if index is None else int(index)
@@ -220,20 +241,21 @@ class CoalescingEngine(InferenceEngine):
                 if len(items) == 1:
                     idx, qids, _ = items[0]
                     out = self._decode(params, self._batch_for(idx, qids))
-                    seqs = np.asarray(out["seq"])
                 else:
                     batch = self._stack([(i, q) for i, q, _ in items])
                     out = self._decode_n(params, batch)
-                    seqs = np.asarray(out["seq"])
+                seqs = np.asarray(out["seq"])
+                mws = np.asarray(out["module_weights"])
                 for k, (idx, qids, fut) in enumerate(items):
-                    fut.set_result((seqs[k], idx, qids))
+                    fut.set_result((seqs[k], mws[k], idx, qids))
             except Exception as e:          # report, don't kill serving
                 for _, _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
 
     def answer(self, question_text: Optional[str],
-               index: Optional[int] = None) -> dict:
+               index: Optional[int] = None,
+               detail: bool = False) -> dict:
         from concurrent.futures import Future
         idx = self.index if index is None else int(index)
         qids = (self.question_to_ids(question_text)
@@ -241,11 +263,14 @@ class CoalescingEngine(InferenceEngine):
         t0 = time.time()
         fut: Future = Future()
         self._q.put((idx, qids, fut))
-        seq, idx, qids = fut.result(timeout=120)
-        return {"answer": self.vocab.decode(seq), "index": idx,
-                "latency_ms": round(1000 * (time.time() - t0), 2),
-                "question_tokens": (qids[qids > 0].tolist()
-                                    if qids is not None else None)}
+        seq, mw, idx, qids = fut.result(timeout=120)
+        res = {"answer": self.vocab.decode(seq), "index": idx,
+               "latency_ms": round(1000 * (time.time() - t0), 2),
+               "question_tokens": (qids[qids > 0].tolist()
+                                   if qids is not None else None)}
+        if detail:
+            res.update(self._detail_fields(seq, mw))
+        return res
 
 
 def make_handler(engine: InferenceEngine):
@@ -262,7 +287,16 @@ def make_handler(engine: InferenceEngine):
             pass
 
         def do_GET(self):
-            if self.path.startswith("/health"):
+            if self.path == "/" or self.path.startswith("/index"):
+                from ekaid_tpu.serving.webui import PAGE_HTML
+                body = PAGE_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/health"):
                 info = {"status": "ok",
                         "index": engine.index,
                         "vocab_size": engine.vocab.size}
@@ -305,7 +339,9 @@ def make_handler(engine: InferenceEngine):
                     return self._send(
                         {"error": "missing 'question' field"}, 400)
                 try:
-                    self._send(engine.answer(text, payload.get("index")))
+                    self._send(engine.answer(
+                        text, payload.get("index"),
+                        detail=bool(payload.get("detail", False))))
                 except Exception as e:
                     self._send({"error": str(e)}, 500)
             elif self.path.startswith("/refresh"):

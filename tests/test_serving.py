@@ -38,6 +38,17 @@ def test_engine_answer(engine):
     assert out["question_tokens"]         # vocab hits resolved
 
 
+def test_engine_answer_detail(engine):
+    """detail=True adds per-token words + [T, 3] module attention for
+    the web client; tokens must re-join to the answer string and each
+    weight row must be a softmax (sums to 1)."""
+    out = engine.answer("w5 w9 what", detail=True)
+    assert " ".join(out["tokens"]) == out["answer"]
+    mw = np.asarray(out["module_weights"])
+    assert mw.shape == (len(out["tokens"]), 3)
+    assert np.allclose(mw.sum(-1), 1.0, atol=2e-3)
+
+
 def test_engine_unknown_words_drop(engine):
     out = engine.answer("zzzzz qqqqq")
     assert out["question_tokens"] == []   # question2id parity: drop OOV
@@ -70,6 +81,15 @@ def test_http_round_trip(engine):
     assert status == 200 and "answer" in ans
     status, s = call("/sample")
     assert status == 200 and "gt_answer" in s
+    # web client page (PyQt5 GUI re-design)
+    with urllib.request.urlopen(base + "/", timeout=60) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        page = r.read().decode()
+    assert "EKAID-TPU" in page and "/question" in page
+    status, ans = call("/question", {"question": "what has changed",
+                                     "detail": True})
+    assert status == 200 and "tokens" in ans and "module_weights" in ans
     # error paths
     with pytest.raises(urllib.error.HTTPError) as e:
         call("/question", {"nope": 1})
@@ -91,6 +111,10 @@ def test_coalescing_single_request(coalescing_engine):
     out = coalescing_engine.answer("w5 w9 what")
     assert isinstance(out["answer"], str)
     assert out["question_tokens"]
+    # detail rides the dispatcher path too
+    out = coalescing_engine.answer("w5 w9 what", detail=True)
+    assert " ".join(out["tokens"]) == out["answer"]
+    assert np.asarray(out["module_weights"]).shape[-1] == 3
 
 
 def test_coalescing_matches_batch1(coalescing_engine, engine):
