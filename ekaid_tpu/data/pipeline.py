@@ -101,6 +101,11 @@ class _RawRows:
         int32 for the reference adjacency dtype)."""
         from ekaid_tpu.native import bindings as nat
         rows = np.asarray(rows, np.int64).ravel()
+        n = self.shape[0]
+        rows = np.where(rows < 0, rows + n, rows)  # h5py semantics
+        if len(rows) and (rows.min() < 0 or rows.max() >= n):
+            raise IndexError(
+                f"row index out of range for dataset of {n} rows")
         starts = (self.offsets[rows // self.chunk_rows]
                   + (rows % self.chunk_rows) * self.rowbytes)
         odt = np.dtype(out_dtype) if out_dtype is not None else self.dtype
@@ -307,31 +312,11 @@ class DiffVQADataset:
         if self.cfg.data.feature_mode == "mode0":
             return _collate([self.sample(int(i)) for i in img_idxs])
 
-        mode = self.cfg.data.feature_mode
-        n1 = self.cfg.data.node_one_num
         fi = self.feature_idx[img_idxs]                      # [B, 2]
         d = self.store.get_batch(fi[:, 0])
         q = self.store.get_batch(fi[:, 1])
-
-        def slice_mode(rec):
-            feats, bb = rec["feats"], rec["bb"]
-            adj, sem = rec["adj"], rec["sem_adj"]
-            if mode in ("both", "location"):
-                return feats, bb, adj, sem
-            if mode == "single_ana":
-                return feats[:, :n1], bb[:, :n1], adj, sem
-            if mode == "single_loc":
-                adj = adj.copy()
-                sem = sem.copy()
-                # move_adj 3to1 (rcc_dataset_pos_mimic.py:132-140)
-                for m in (adj, sem):
-                    m[:, :n1] = m[:, 2 * n1:3 * n1]
-                    m[:, :, :n1] = m[:, :, 2 * n1:3 * n1]
-                return (feats[:, -n1:], bb[:, :n1], adj, sem)
-            raise ValueError(f"unknown feature_mode {mode!r}")
-
-        d_feats, d_bb, d_adj, d_sem = slice_mode(d)
-        q_feats, q_bb, q_adj, q_sem = slice_mode(q)
+        d_feats, d_bb, d_adj, d_sem = self._slice_mode(d)
+        q_feats, q_bb, q_adj, q_sem = self._slice_mode(q)
 
         B, T = len(img_idxs), self.seq_length
         labels = np.zeros((B, T + 1), np.int32)
@@ -362,31 +347,35 @@ class DiffVQADataset:
         pos[:T] = self.pos[img_idx]
         return {"labels": labels, "pos": pos, "masks": mask}
 
-    def _features_for(self, img_idx: int, fi):
+    def _slice_mode(self, rec):
+        """feature_mode slicing, per-sample or batched: ellipsis
+        indexing makes the same code serve rank-2/3 features and
+        rank-2/3 adjacency ([..., N, F] / [..., P, P]). Preserves the
+        single_loc move_adj 3to1 asymmetry (feats from the LOC block,
+        bb from the ana block — rcc_dataset_pos_mimic.py:132-140,
+        177-207, a reference quirk kept verbatim)."""
         mode = self.cfg.data.feature_mode
-        node_one = self.cfg.data.node_one_num
+        n1 = self.cfg.data.node_one_num
+        feats, bb = rec["feats"], rec["bb"]
+        adj, sem = rec["adj"], rec["sem_adj"]
+        if mode in ("both", "location"):
+            return feats, bb, adj, sem
+        if mode == "single_ana":
+            return feats[..., :n1, :], bb[..., :n1, :], adj, sem
+        if mode == "single_loc":
+            adj = adj.copy()
+            sem = sem.copy()
+            for m in (adj, sem):
+                m[..., :n1, :] = m[..., 2 * n1:3 * n1, :]
+                m[..., :, :n1] = m[..., :, 2 * n1:3 * n1]
+            return (feats[..., -n1:, :], bb[..., :n1, :], adj, sem)
+        raise ValueError(f"unknown feature_mode {mode!r}")
+
+    def _features_for(self, img_idx: int, fi):
         d = self.store.get(int(fi[0]))
         q = self.store.get(int(fi[1]))
-
-        def slice_mode(rec):
-            feats, bb = rec["feats"], rec["bb"]
-            adj, sem = rec["adj"], rec["sem_adj"]
-            if mode in ("both", "location"):
-                return feats, bb, adj, sem
-            if mode == "single_ana":
-                return feats[:node_one], bb[:node_one], adj, sem
-            if mode == "single_loc":
-                adj = adj.copy()
-                sem = sem.copy()
-                # move_adj 3to1 (rcc_dataset_pos_mimic.py:132-140)
-                for m in (adj, sem):
-                    m[:node_one] = m[2 * node_one:3 * node_one]
-                    m[:, :node_one] = m[:, 2 * node_one:3 * node_one]
-                return (feats[-node_one:], bb[:node_one], adj, sem)
-            raise ValueError(f"unknown feature_mode {mode!r}")
-
-        d_feats, d_bb, d_adj, d_sem = slice_mode(d)
-        q_feats, q_bb, q_adj, q_sem = slice_mode(q)
+        d_feats, d_bb, d_adj, d_sem = self._slice_mode(d)
+        q_feats, q_bb, q_adj, q_sem = self._slice_mode(q)
 
         out = self._labels_for(img_idx)
         out.update({

@@ -53,7 +53,11 @@ def iou_plus_one(a: np.ndarray, b: np.ndarray) -> float:
 
 def iou_plus_one_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized iou_plus_one: a [N,4] × b [M,4] → [N,M] f64.
-    Identical arithmetic (incl. the +1 convention and uni<=0 → 0)."""
+    Same formula (incl. the +1 convention and uni<=0 → 0), computed in
+    float64 like the native C++ path and the reference's Python floats
+    — for float32 inputs this can differ from the float32 scalar loop
+    in the last f32 ulp (which could flip an exact near-tie in the
+    greedy matcher; accepted, it matches the reference's precision)."""
     a = np.asarray(a, np.float64)[:, None, :]
     b = np.asarray(b, np.float64)[None, :, :]
     iw = np.maximum(np.minimum(a[..., 2], b[..., 2])

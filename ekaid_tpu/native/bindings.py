@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -20,12 +21,13 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libekaid_graph.so")
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_LOCK = threading.Lock()   # first call can come from N loader threads
 
 
 def ensure_built(force: bool = False) -> bool:
+    """Run make (incremental: also rebuilds a stale .so when a source
+    file is newer, e.g. after a repo update adds a new kernel)."""
     global _TRIED
-    if os.path.exists(_SO) and not force:
-        return True
     if _TRIED and not force:
         return os.path.exists(_SO)
     _TRIED = True
@@ -34,16 +36,39 @@ def ensure_built(force: bool = False) -> bool:
                        capture_output=True)
         return True
     except Exception:
-        return False
+        return os.path.exists(_SO)
 
 
 def _lib() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _LIB
     if not ensure_built():
         return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = _bind(ctypes.CDLL(_SO))
+    except (OSError, AttributeError):
+        # stale .so missing a newer symbol (make couldn't rebuild it,
+        # e.g. no compiler): force one rebuild, else Python fallbacks
+        if not ensure_built(force=True):
+            return None
+        try:
+            lib = _bind(ctypes.CDLL(_SO))
+        except (OSError, AttributeError):
+            return None
+    _LIB = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64 = ctypes.c_int64
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -64,7 +89,6 @@ def _lib() -> Optional[ctypes.CDLL]:
                                 ctypes.c_void_p, i64]
     lib.gather_rows_i64_i32.argtypes = [ctypes.c_void_p, i64p, i64, i64,
                                         i32p, i64]
-    _LIB = lib
     return lib
 
 

@@ -239,17 +239,23 @@ class CoalescingEngine(InferenceEngine):
             try:
                 params = self.trainer.state.params
                 if len(items) == 1:
-                    idx, qids, _ = items[0]
+                    idx, qids, _, _ = items[0]
                     out = self._decode(params, self._batch_for(idx, qids))
                 else:
-                    batch = self._stack([(i, q) for i, q, _ in items])
+                    batch = self._stack([(i, q) for i, q, _, _ in items])
                     out = self._decode_n(params, batch)
                 seqs = np.asarray(out["seq"])
-                mws = np.asarray(out["module_weights"])
-                for k, (idx, qids, fut) in enumerate(items):
-                    fut.set_result((seqs[k], mws[k], idx, qids))
+                # module weights cross device->host only when some
+                # request in this batch asked for detail (the web
+                # client); the hot no-detail path skips the fetch
+                mws = (np.asarray(out["module_weights"])
+                       if any(d for _, _, d, _ in items) else None)
+                for k, (idx, qids, _, fut) in enumerate(items):
+                    fut.set_result((seqs[k],
+                                    mws[k] if mws is not None else None,
+                                    idx, qids))
             except Exception as e:          # report, don't kill serving
-                for _, _, fut in items:
+                for *_, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -262,7 +268,7 @@ class CoalescingEngine(InferenceEngine):
                 if question_text else None)
         t0 = time.time()
         fut: Future = Future()
-        self._q.put((idx, qids, fut))
+        self._q.put((idx, qids, detail, fut))
         seq, mw, idx, qids = fut.result(timeout=120)
         res = {"answer": self.vocab.decode(seq), "index": idx,
                "latency_ms": round(1000 * (time.time() - t0), 2),

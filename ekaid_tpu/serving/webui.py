@@ -164,6 +164,12 @@ under each generated word.</div>
 const $ = id => document.getElementById(id);
 const NAMES = ["before", "difference", "after"];
 const tooltip = $("tooltip");
+// escape server-provided strings before innerHTML interpolation
+// (the decoder can emit a literal "<unk>" token; dataset text may
+// contain markup)
+const esc = s => String(s).replace(/[&<>"']/g, c => ({
+  "&": "&amp;", "<": "&lt;", ">": "&gt;",
+  '"': "&quot;", "'": "&#39;"}[c]));
 
 async function api(path, body) {
   const r = await fetch(path, body === undefined ? {} :
@@ -185,9 +191,9 @@ function setImage(el, which, idx) {
 async function loadPair() {
   const s = await api("/sample");
   $("pair_idx").textContent = "#" + s.index;
-  $("gt").innerHTML = s.error ? s.error :
-    `dataset question: &ldquo;${s.question}&rdquo;<br>` +
-    `ground-truth answer: &ldquo;${s.gt_answer}&rdquo;`;
+  $("gt").innerHTML = s.error ? esc(s.error) :
+    `dataset question: &ldquo;${esc(s.question)}&rdquo;<br>` +
+    `ground-truth answer: &ldquo;${esc(s.gt_answer)}&rdquo;`;
   setImage($("img_main"), "main", s.index);
   setImage($("img_ref"), "ref", s.index);
 }
@@ -199,12 +205,12 @@ function chip(word, w) {
   let bar = "";
   for (let k = 0; k < 3; k++)
     bar += `<span class="s${k+1}" style="flex:${(w[k]/total).toFixed(4)}"></span>`;
-  div.innerHTML = `<div class="w">${word}</div><div class="bar">${bar}</div>`;
+  div.innerHTML = `<div class="w">${esc(word)}</div><div class="bar">${bar}</div>`;
   div.addEventListener("mousemove", e => {
     tooltip.style.display = "block";
     tooltip.style.left = (e.clientX + 12) + "px";
     tooltip.style.top = (e.clientY + 12) + "px";
-    tooltip.innerHTML = `<b>${word}</b><br>` + NAMES.map(
+    tooltip.innerHTML = `<b>${esc(word)}</b><br>` + NAMES.map(
       (n, k) => `${n}: ${w[k].toFixed(3)}`).join("<br>");
   });
   div.addEventListener("mouseleave", () => {
@@ -219,7 +225,7 @@ function renderAttention(tokens, weights) {
   box.style.display = "";
   tokens.forEach((t, i) => chips.appendChild(chip(t, weights[i])));
   let rows = tokens.map((t, i) =>
-    `<tr><td>${t}</td>` + weights[i].map(
+    `<tr><td>${esc(t)}</td>` + weights[i].map(
       v => `<td>${v.toFixed(3)}</td>`).join("") + "</tr>").join("");
   tbl.innerHTML = `<table><tr><th>token</th><th>before</th>` +
     `<th>difference</th><th>after</th></tr>${rows}</table>`;

@@ -136,12 +136,19 @@ def test_sample_batch_matches_per_sample(tmp_path):
     } for _ in range(10)])
     w.close()
 
-    for mode in ("both", "single_ana", "single_loc"):
+    # allow_raw=True drives the _RawRows mmap gather; False drives the
+    # h5py fancy-index fallback (unique/inverse scatter + broadcast
+    # fast path) that real compressed/filtered files take
+    for mode, allow_raw in (("both", True), ("both", False),
+                            ("single_ana", True), ("single_ana", False),
+                            ("single_loc", True), ("single_loc", False)):
         cfg = small_cfg()
         cfg = cfg.replace(data=cfg.data.replace(feature_mode=mode,
                                                 node_one_num=4))
         ds = synthetic_dataset(cfg, "train", n_pairs=24)
-        ds.store = H5FeatureStore(str(tmp_path / "f.hdf5"))
+        ds.store = H5FeatureStore(str(tmp_path / "f.hdf5"),
+                                  allow_raw=allow_raw)
+        assert (ds.store._raw is not None) == allow_raw
         # duplicates on purpose: idx 3 appears twice
         ds.feature_idx = np.stack(
             [rng.integers(0, 10, 24), rng.integers(0, 10, 24)],
@@ -163,6 +170,35 @@ def test_sample_batch_matches_per_sample(tmp_path):
                 for k in batched}
         for k in loop:
             np.testing.assert_array_equal(batched[k], loop[k], err_msg=k)
+
+
+def test_raw_rows_bounds_and_negative_index(tmp_path):
+    """The mmap fast path must keep h5py indexing semantics: negative
+    indices wrap, out-of-range raises (instead of silently reading
+    chunk-padding garbage)."""
+    import pytest
+    from ekaid_tpu.data.pipeline import H5FeatureStore
+    from ekaid_tpu.extract.pipeline import H5Writer
+    rng = np.random.default_rng(3)
+    w = H5Writer(str(tmp_path / "f.hdf5"), num_nodes=8, feat_dim=16,
+                 adj_pad=12)
+    w.append([{
+        "image_features": rng.standard_normal((8, 16)).astype(np.float32),
+        "image_bb": rng.uniform(0, 1024, (8, 4)).astype(np.float32),
+        "image_adj_matrix": rng.integers(0, 12, (12, 12)),
+        "semantic_adj_matrix": rng.integers(0, 3, (12, 12)),
+        "bbox_label": rng.integers(0, 49, 8),
+    } for _ in range(10)])
+    w.close()
+    store = H5FeatureStore(str(tmp_path / "f.hdf5"))
+    assert store._raw is not None
+    np.testing.assert_array_equal(store.get(-1)["feats"],
+                                  store.get(9)["feats"])
+    for bad in (10, -11):
+        with pytest.raises(IndexError):
+            store.get(bad)
+    with pytest.raises(IndexError):
+        store.get_batch([0, 3, 10])
 
 
 # --------------------------------------------------------- preprocess ---
