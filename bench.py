@@ -341,7 +341,29 @@ def main():
                 record["extract_mfu_pct"] = ext["mfu_pct"]
         except Exception as e:       # extraction must not kill the line
             record["extract_error"] = f"{type(e).__name__}: {e}"
+    try:
+        record["loader_pairs_per_sec"] = _bench_loader()
+    except Exception as e:           # host-IO bench must not kill it
+        record["loader_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(record))
+
+
+def _bench_loader() -> float:
+    """Host data-loader throughput (CPU-only, reference HDF5 layout) —
+    the end-to-end feed rate cap; see scripts/bench_loader.py. Runs in
+    a subprocess so a loader failure can't take down the bench line."""
+    import os
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts", "bench_loader.py"),
+         "--images", "128", "--pairs", "768", "--threads", "-1",
+         "--h5", "/tmp/bench_loader_small.hdf5"],
+        capture_output=True, text=True, timeout=600, check=True,
+        env={**os.environ, "EKAID_PLATFORM": "cpu"})
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    return row["pairs_per_sec"]
 
 
 if __name__ == "__main__":

@@ -158,7 +158,8 @@ class DataConfig:
     feature_h5: str = "data/cmb_bbox_di_feats.hdf5"
     gt_captions: str = "data/mimic_gt_captions_%s.json"
     feature_mode: str = "both"   # both | single_ana | single_loc
-    num_workers: int = 4         # reference pins 0 (yaml:30); we prefetch
+    num_workers: int = -1        # loader threads; -1 = min(4, cpu_count)
+                                 # (reference pins 0, yaml:30; we prefetch)
     prefetch: int = 2
     train: SplitDataConfig = field(default_factory=SplitDataConfig)
     val: SplitDataConfig = field(
@@ -195,6 +196,10 @@ class TrainConfig:
     graph: str = "all"           # all | semantic | spatial | implicit | i+s
     setting: str = "mode2"
     att_reg_weight: float = 2.5e-3   # train_mimic.py:247
+    # answer-length buckets (scan lengths) for the teacher-forcing
+    # step; () = always full seq_length (reference behavior). See
+    # data/pipeline.py::trim_batch_to_bucket.
+    length_buckets: Tuple[int, ...] = ()
     seed: int = 1238
     optim: OptimConfig = field(default_factory=OptimConfig)
 

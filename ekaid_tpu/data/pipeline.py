@@ -20,6 +20,7 @@ batch assembler:
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -399,7 +400,7 @@ class Loader:
     def __init__(self, dataset: DiffVQADataset, batch_size: Optional[int]
                  = None, shuffle: bool = False, seed: int = 0,
                  drop_remainder: bool = True, pad_final: bool = False,
-                 num_threads: int = 4, prefetch: int = 2,
+                 num_threads: Optional[int] = None, prefetch: int = 2,
                  shard_index: int = 0, num_shards: int = 1):
         """pad_final=True keeps the remainder batch, padded to batch_size
         by repeating its last row — batch shape stays jit-stable and
@@ -416,6 +417,12 @@ class Loader:
         self.seed = seed
         self.drop_remainder = drop_remainder and not pad_final
         self.pad_final = pad_final
+        # None scales with the host: more worker threads than cores is
+        # measurably SLOWER (this repo's 1-CPU box: 4 threads at ~1/3
+        # the 1-thread rate even on the GIL-free native gather, pure
+        # scheduler thrash), so never default past cpu_count
+        if num_threads is None or num_threads < 0:
+            num_threads = min(4, os.cpu_count() or 1)
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.epoch = 0
@@ -512,6 +519,42 @@ class Loader:
                 yield payload
         finally:
             stop.set()
+
+
+def trim_batch_to_bucket(batch: Dict[str, np.ndarray], buckets,
+                         seq_length: int) -> Dict[str, np.ndarray]:
+    """Trim the time axis of labels/pos/masks to the smallest length
+    bucket that covers the batch's longest answer.
+
+    The teacher-forcing scan length follows the labels shape
+    (decoder.py::teacher_forcing), and trailing steps past every row's
+    EOS slot are exactly masked out of the loss — so trimming is
+    loss-identical while skipping the masked steps' serial compute
+    (the dominant train-step term at batch 64 is the 90-step scan).
+    `buckets` are scan lengths (e.g. (16, 32)); the full seq_length is
+    always an implicit fallback. Each distinct bucket shape compiles
+    its own program — keep the list short. No reference counterpart
+    (train_mimic.py always runs the full loop). Host-side numpy, runs
+    in the loader thread before device_put.
+
+    Multi-host note: bucket choice depends on the local shard's max
+    answer length, which can differ across hosts and would desync the
+    lockstep SPMD program — the train driver disables bucketing when
+    jax.process_count() > 1.
+    """
+    if not buckets:
+        return batch
+    # masks row sum = n_tokens + 2 (<start> + tokens + EOS slot);
+    # steps needed = n_tokens + 1 (the EOS prediction's step)
+    need = int(batch["masks"].sum(1).max()) - 1
+    for b in sorted(set(int(b) for b in buckets)):
+        if need <= b < seq_length:
+            out = dict(batch)
+            for k in ("labels", "pos", "masks"):
+                if k in batch:
+                    out[k] = batch[k][:, :b + 1]
+            return out
+    return batch
 
 
 def synthetic_dataset(cfg, split: str = "train", n_pairs: int = 512,

@@ -243,9 +243,18 @@ class DynamicSpeaker(nn.Module):
         [B, T, vocab] aligned so step i predicts seq[:, i+1].
         Scheduled sampling replaces the input token with a sample from the
         previous step's distribution with prob `ss_prob` (i >= 1).
+
+        The scan length follows seq's time axis (normally
+        cfg.seq_length; shorter when the train driver's length
+        bucketing trims the batch — trim_batch_to_bucket): under the
+        loss mask the trailing all-padded steps contribute exactly
+        zero, so a trimmed scan is loss- and grad-identical while
+        skipping their serial compute. TPU-first optimization; the
+        reference always runs the full 90 steps
+        (dynamic_speaker_change_pos.py:196).
         """
         c = self.cfg
-        B, T = feat_bef.shape[0], c.seq_length
+        B, T = feat_bef.shape[0], seq.shape[1] - 1
         use_ss = train and ss_prob > 0.0
 
         if train:

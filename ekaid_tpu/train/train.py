@@ -148,9 +148,18 @@ class Trainer:
             next batch's host→HBM transfer overlaps the current step
             (the reference blocks on per-tensor .to(device) transfers,
             train_mimic.py:213-218)."""
+            from ekaid_tpu.data.pipeline import trim_batch_to_bucket
+            # multi-host: each process sees only its shard, so bucket
+            # choices could diverge across hosts and desync the SPMD
+            # program — bucket only when single-process
+            buckets = (cfg.train.length_buckets
+                       if _jax.process_count() == 1 else ())
             it = iter(loader)
             nxt = None
             for batch in it:
+                if buckets:
+                    batch = trim_batch_to_bucket(
+                        batch, buckets, cfg.speaker.seq_length)
                 cur = nxt
                 nxt = shard_batch(self.mesh, self._device_batch(batch))
                 if cur is not None:

@@ -55,8 +55,13 @@ def main():
     d = cfg.data
     rng = np.random.default_rng(0)
 
+    import h5py
+    if os.path.exists(a.h5):
+        # stale fixture from a smaller --images run would IndexError
+        with h5py.File(a.h5, "r") as h5:
+            if h5["image_features"].shape[0] < a.images:
+                os.remove(a.h5)
     if not os.path.exists(a.h5):
-        import h5py
         with h5py.File(a.h5, "w") as h5:
             n = a.images
             # reference layout incl. 100-row chunks + int64 adj

@@ -38,6 +38,11 @@ def relay_up() -> bool:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--buckets", default="",
+                   help="comma list of answer-length buckets; trims the "
+                        "teacher-forcing scan to the smallest covering "
+                        "bucket (synthetic answers are < 45 tokens, so "
+                        "e.g. --buckets 48 runs a 48-step scan)")
     p.add_argument("--unroll", type=int, default=0,
                    help="override speaker.scan_unroll (0 = config)")
     p.add_argument("--cast", action="store_true",
@@ -86,7 +91,14 @@ def main():
     tx = make_optimizer(cfg.train.optim)
 
     b = a.batch
-    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, b, seed=0))
+    host_batch = synthetic_batch(cfg, b, seed=0)
+    if a.buckets:
+        from ekaid_tpu.data.pipeline import trim_batch_to_bucket
+        buckets = tuple(int(x) for x in a.buckets.split(","))
+        host_batch = trim_batch_to_bucket(host_batch, buckets,
+                                          cfg.speaker.seq_length)
+    scan_t = host_batch["labels"].shape[1] - 1
+    batch = jax.tree.map(jnp.asarray, host_batch)
     state = init_state(model, tx, batch, jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
 
@@ -120,6 +132,7 @@ def main():
     n_lo, n_hi = (5, 20) if platform != "cpu" else (1, 3)
     per, fixed = _slope_time(chain, n_lo, n_hi)
     rec = {"metric": "train_pairs_per_sec", "batch": b,
+           "scan_steps": scan_t,
            "unroll": cfg.speaker.scan_unroll,
            "param_cast": bool(a.cast),
            "platform": platform,

@@ -48,6 +48,13 @@ run ext_stages      2400 python scripts/bench_extract_stages.py --batch 8
 run ext_stages_s2d  2400 python scripts/bench_extract_stages.py --batch 8 --s2d
 # 3. extraction sweep with the winning knobs (edit flags per 1/2)
 run ext_sweep     2400 python scripts/bench_extract_sweep.py --batches 8,16
+# 3b. train batch lever (b64 is 21% MFU and scan-latency-bound; decode
+#     showed b128 = +44% throughput — measure the train-side analogue)
+run train_b128   2400 python scripts/bench_train.py --batch 128
+# 3c. answer-length bucketing: 48-step scan vs the 90-step baseline
+#     (loss/grad-identical under the mask, test_model.py; real MIMIC
+#     answers are mostly far shorter than 90)
+run train_bucket48 2400 python scripts/bench_train.py --buckets 48
 # 4. profiles (trace dirs under /tmp/ekaid_traces)
 run prof_extract  2400 python scripts/profile_capture.py --target extract
 run prof_train    2400 python scripts/profile_capture.py --target train

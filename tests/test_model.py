@@ -627,3 +627,75 @@ def test_remat_grads_match():
         for x, y in zip(flat0, flat1):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_length_bucket_trim_is_loss_and_grad_identical():
+    """Answer-length bucketing (trim_batch_to_bucket + shape-driven
+    teacher-forcing scan): the trimmed batch must produce the exact
+    same loss and gradients as the full-length batch — the trailing
+    steps are fully masked, so their contributions are exact zeros.
+    Dropout off (rate knobs untouched but train=False disables it;
+    grads still flow) and additionally train=True with a fixed rng at
+    zero scheduled sampling, where dropout randomness differs per scan
+    length only in masked-out steps' keys."""
+    from ekaid_tpu.data.pipeline import trim_batch_to_bucket
+
+    cfg = tiny_config()                      # seq_length 12
+    batch = synthetic_batch(cfg, 3, seed=11)  # answer lengths < 6
+    need = int(batch["masks"].sum(1).max()) - 1
+    assert need < 8 < cfg.speaker.seq_length
+    trimmed = trim_batch_to_bucket(batch, (8,), cfg.speaker.seq_length)
+    assert trimmed["labels"].shape[1] == 9
+    assert trimmed["masks"].shape[1] == 9
+
+    full = jax.tree.map(jnp.asarray, batch)
+    trim = jax.tree.map(jnp.asarray, trimmed)
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        full, train=True)
+
+    def loss_fn(p, b, train):
+        out = model.apply(p, b, train=train,
+                          rngs={"dropout": jax.random.PRNGKey(2)}
+                          if train else None)
+        return total_loss(out, b, cfg.train.att_reg_weight)[0]
+
+    # eval-mode (no dropout): bit-identical loss AND grads
+    lf, gf = jax.value_and_grad(loss_fn)(params, full, False)
+    lt, gt = jax.value_and_grad(loss_fn)(params, trim, False)
+    assert float(lf) == float(lt)
+    for x, y in zip(jax.tree.leaves(gf), jax.tree.leaves(gt)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # train-mode sanity: finite and close (dropout key schedules differ
+    # with scan length, so exact equality is not expected)
+    lf2 = loss_fn(params, full, True)
+    lt2 = loss_fn(params, trim, True)
+    assert np.isfinite(float(lf2)) and np.isfinite(float(lt2))
+
+
+def test_length_bucket_selection():
+    from ekaid_tpu.data.pipeline import trim_batch_to_bucket
+
+    def fake(maxlen, t=12):
+        masks = np.zeros((2, t + 1), np.float32)
+        masks[0, :3] = 1.0                    # 1-token row
+        masks[1, :maxlen + 2] = 1.0           # maxlen-token row
+        return {"labels": np.ones((2, t + 1), np.int64),
+                "pos": np.ones((2, t + 1), np.int64), "masks": masks}
+
+    # smallest covering bucket wins
+    out = trim_batch_to_bucket(fake(3), (4, 8), 12)
+    assert out["labels"].shape[1] == 5
+    out = trim_batch_to_bucket(fake(5), (4, 8), 12)
+    assert out["labels"].shape[1] == 9
+    # nothing covers -> full length untouched
+    out = trim_batch_to_bucket(fake(10), (4, 8), 12)
+    assert out["labels"].shape[1] == 13
+    # no buckets -> no-op
+    out = trim_batch_to_bucket(fake(3), (), 12)
+    assert out["labels"].shape[1] == 13
+    # buckets >= seq_length are ignored (full program is the fallback)
+    out = trim_batch_to_bucket(fake(3), (12, 20), 12)
+    assert out["labels"].shape[1] == 13
