@@ -135,14 +135,19 @@ class H5FeatureStore(FeatureStore):
 
     _KEYS = {"feats": "image_features", "bb": "image_bb",
              "adj": "image_adj_matrix", "sem_adj": "semantic_adj_matrix"}
-    _DTYPES = {"feats": np.float32, "bb": np.float32,
-               "adj": np.int32, "sem_adj": np.int32}
 
     def __init__(self, path: str, allow_raw: bool = True):
         import h5py
         self.path = path
         self._h5 = h5py.File(path, "r")
         self.features = self._h5["image_features"]
+        # f16-stored features (H5Writer feat_dtype) ship as f16 all the
+        # way to device_put — the model casts to its compute dtype at
+        # entry; everything else normalizes to f32/int32
+        feat_dt = (np.float16 if self.features.dtype == np.float16
+                   else np.float32)
+        self._DTYPES = {"feats": feat_dt, "bb": np.float32,
+                        "adj": np.int32, "sem_adj": np.int32}
         self.bb = self._h5["image_bb"]
         self.adj = self._h5["image_adj_matrix"]
         self.sem_adj = self._h5["semantic_adj_matrix"]
@@ -163,7 +168,7 @@ class H5FeatureStore(FeatureStore):
             return {k: self._raw[k].take([idx], self._DTYPES[k])[0]
                     for k in self._KEYS}
         return {
-            "feats": np.asarray(self.features[idx], np.float32),
+            "feats": np.asarray(self.features[idx], self._DTYPES["feats"]),
             "bb": np.asarray(self.bb[idx], np.float32),
             "adj": np.asarray(self.adj[idx], np.int32),
             "sem_adj": np.asarray(self.sem_adj[idx], np.int32),
@@ -183,7 +188,7 @@ class H5FeatureStore(FeatureStore):
         uniq, inv = np.unique(idxs, return_inverse=True)
         sel = uniq.tolist() if len(uniq) > 1 else int(uniq[0])
         out = {
-            "feats": np.asarray(self.features[sel], np.float32),
+            "feats": np.asarray(self.features[sel], self._DTYPES["feats"]),
             "bb": np.asarray(self.bb[sel], np.float32),
             "adj": np.asarray(self.adj[sel], np.int32),
             "sem_adj": np.asarray(self.sem_adj[sel], np.int32),

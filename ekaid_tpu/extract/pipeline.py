@@ -178,11 +178,18 @@ def combine_pair(ana: Dict[str, np.ndarray], dis: Dict[str, np.ndarray],
 
 class H5Writer:
     """Appending writer for the combined-graph HDF5 layout
-    (combine_dicts.py save_h5, :162-216)."""
+    (combine_dicts.py save_h5, :162-216).
+
+    feat_dtype='float16' (DOCUMENTED DEVIATION; reference stores f32)
+    halves the dominant store/loader/H2D tensor. The model casts inputs
+    to its compute dtype (bf16 on TPU) at entry anyway, so the f16
+    round-trip loses less precision than that cast; the loader ships
+    f16 rows to the device untouched."""
 
     def __init__(self, path: str, num_nodes: int, feat_dim: int,
-                 adj_pad: int = 100):
+                 adj_pad: int = 100, feat_dtype: str = "float32"):
         import h5py
+        assert feat_dtype in ("float32", "float16")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._h5 = h5py.File(path, "w")
         self.n = 0
@@ -194,7 +201,7 @@ class H5Writer:
 
         self.sets = {
             "image_features": dset("image_features",
-                                   (num_nodes, feat_dim), "float32"),
+                                   (num_nodes, feat_dim), feat_dtype),
             "image_bb": dset("image_bb", (num_nodes, 4), "float32"),
             "image_adj_matrix": dset("image_adj_matrix",
                                      (adj_pad, adj_pad), "int64"),

@@ -230,6 +230,11 @@ def main(argv=None):
                    choices=["unit", "detectron2"],
                    help="on-device input normalization; detectron2 = "
                         "caffe-BGR mean-sub for converted checkpoints")
+    p.add_argument("--store_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="image_features storage dtype; float16 halves "
+                        "the store/loader/H2D bytes (the model casts "
+                        "inputs to bf16 at entry anyway)")
     p.add_argument("--io_workers", type=int, default=None,
                    help="PNG decode threads (default min(8, cpus))")
     p.add_argument("--dp", type=int, default=0,
@@ -278,7 +283,8 @@ def main(argv=None):
                                               mesh=mesh)
     ex = Extractor(ana_apply, dis_apply, det.num_disease_classes)
     writer = H5Writer(a.out, num_nodes=2 * det.num_anatomy_classes,
-                      feat_dim=det.roi_feat_dim)
+                      feat_dim=det.roi_feat_dim,
+                      feat_dtype=a.store_dtype)
     if a.synthetic:
         batches = synthetic_batches(a.synthetic, det.image_size,
                                     det.extract_batch_size)

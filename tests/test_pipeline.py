@@ -406,3 +406,66 @@ def test_loader_multihost_sharding_lockstep_uneven():
     assert len(set(counts)) == 1
     # every shard sees exactly n // k examples (pre-batching)
     assert counts[0] <= n // k and counts[0] >= n // k - 4 + 1
+
+
+def test_f16_feature_store_roundtrip_and_forward(tmp_path):
+    """H5Writer(feat_dtype='float16'): features halve on disk, ship as
+    f16 through both read paths (raw mmap + h5py fallback), stay within
+    f16 rounding of the f32 values, and feed the model forward (which
+    casts inputs to its compute dtype at entry)."""
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.data.pipeline import H5FeatureStore
+    from ekaid_tpu.extract.pipeline import H5Writer
+    rng = np.random.default_rng(5)
+
+    def valid_boxes():
+        # well-formed x1<x2, y1<y2 boxes — the geometric position
+        # embedding takes log of width/height ratios
+        x1 = rng.uniform(0, 800, 8)
+        y1 = rng.uniform(0, 800, 8)
+        return np.stack([x1, y1, x1 + rng.uniform(10, 200, 8),
+                         y1 + rng.uniform(10, 200, 8)], -1).astype(
+                             np.float32)
+
+    recs = [{
+        "image_features": rng.standard_normal((8, 48)).astype(np.float32),
+        "image_bb": valid_boxes(),
+        "image_adj_matrix": rng.integers(0, 12, (20, 20)),
+        "semantic_adj_matrix": rng.integers(0, 3, (20, 20)),
+        "bbox_label": rng.integers(0, 49, 8),
+    } for _ in range(6)]
+    w = H5Writer(str(tmp_path / "f16.hdf5"), num_nodes=8, feat_dim=48,
+                 adj_pad=20, feat_dtype="float16")
+    w.append(recs)
+    w.close()
+
+    for allow_raw in (True, False):
+        store = H5FeatureStore(str(tmp_path / "f16.hdf5"),
+                               allow_raw=allow_raw)
+        assert (store._raw is not None) == allow_raw
+        got = store.get_batch([0, 3, 3])
+        assert got["feats"].dtype == np.float16
+        assert got["bb"].dtype == np.float32
+        np.testing.assert_allclose(
+            got["feats"][1], recs[3]["image_features"],
+            rtol=2e-3, atol=1e-3)
+        np.testing.assert_array_equal(got["feats"][1], got["feats"][2])
+
+    # f16 batch feeds the model forward untouched
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=8)
+    ds.store = H5FeatureStore(str(tmp_path / "f16.hdf5"))
+    ds.feature_idx = np.stack([np.arange(8) % 6, (np.arange(8) + 1) % 6],
+                              -1).astype(np.int64)
+    batch = ds.sample_batch([0, 1])
+    assert batch["d_feats"].dtype == np.float16
+    from ekaid_tpu.models.ekaid import EkaidModel, total_loss
+    from ekaid_tpu.utils.dtypes import F32
+    model = EkaidModel(cfg, ntoken=99, policy=F32)
+    jb = jax.tree.map(jnp.asarray, batch)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, jb, train=True)
+    out = model.apply(params, jb, train=False)
+    loss, _ = total_loss(out, jb, cfg.train.att_reg_weight)
+    assert np.isfinite(float(loss))
