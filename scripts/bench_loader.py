@@ -43,6 +43,9 @@ def main():
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--h5", default="/tmp/bench_loader_feats.hdf5")
+    p.add_argument("--feat_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="fixture feature dtype (extract --store_dtype)")
     a = p.parse_args()
 
     from ekaid_tpu.utils.platform import apply_platform_env
@@ -70,7 +73,7 @@ def main():
                               chunks=(100, d.num_nodes, d.feature_dim),
                               data=rng.standard_normal(
                                   (n, d.num_nodes, d.feature_dim)
-                              ).astype(np.float32))
+                              ).astype(a.feat_dtype))
             h5.create_dataset("image_bb",
                               chunks=(100, d.num_nodes, 4),
                               data=rng.uniform(
@@ -108,8 +111,10 @@ def main():
     print(json.dumps({
         "pairs_per_sec": round(seen / dt, 1),
         "pairs": seen, "batch": a.batch, "threads": a.threads,
+        "feat_dtype": a.feat_dtype,
         "bytes_per_pair_mb": round(
-            2 * (d.num_nodes * d.feature_dim * 4
+            2 * (d.num_nodes * d.feature_dim
+                 * (2 if a.feat_dtype == "float16" else 4)
                  + 2 * d.adj_pad * d.adj_pad * 4) / 2**20, 2),
         "note": ("train step consumes ~2.1k pairs/s; decode 10-14k — "
                  "loader must exceed those for the chip rates to hold "
