@@ -353,8 +353,6 @@ def _bench_loader() -> float:
     the end-to-end feed rate cap; see scripts/bench_loader.py. Runs in
     a subprocess so a loader failure can't take down the bench line."""
     import os
-    import subprocess
-    import sys
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts", "bench_loader.py"),

@@ -60,26 +60,36 @@ def main():
 
     import h5py
     if os.path.exists(a.h5):
-        # stale fixture from a smaller --images run would IndexError
-        with h5py.File(a.h5, "r") as h5:
-            if h5["image_features"].shape[0] < a.images:
-                os.remove(a.h5)
+        # a stale fixture must match this run exactly (rows, dtype,
+        # geometry) or the A/B labels lie; a partial/corrupt file from
+        # a killed run must not poison the path forever
+        try:
+            with h5py.File(a.h5, "r") as h5:
+                f = h5["image_features"]
+                ok = (f.shape[0] >= a.images
+                      and f.dtype == np.dtype(a.feat_dtype)
+                      and f.shape[1:] == (d.num_nodes, d.feature_dim))
+        except Exception:
+            ok = False
+        if not ok:
+            os.remove(a.h5)
     if not os.path.exists(a.h5):
+        n = a.images
+        ch = min(100, n)   # reference uses 100-row chunks
         with h5py.File(a.h5, "w") as h5:
-            n = a.images
-            # reference layout incl. 100-row chunks + int64 adj
+            # reference layout incl. chunked rows + int64 adj
             # (combine_dicts.py:168-183)
             h5.create_dataset("image_features",
-                              chunks=(100, d.num_nodes, d.feature_dim),
+                              chunks=(ch, d.num_nodes, d.feature_dim),
                               data=rng.standard_normal(
                                   (n, d.num_nodes, d.feature_dim)
                               ).astype(a.feat_dtype))
             h5.create_dataset("image_bb",
-                              chunks=(100, d.num_nodes, 4),
+                              chunks=(ch, d.num_nodes, 4),
                               data=rng.uniform(
                 0, 1024, (n, d.num_nodes, 4)).astype(np.float32))
             for k in ("image_adj_matrix", "semantic_adj_matrix"):
-                h5.create_dataset(k, chunks=(100, d.adj_pad, d.adj_pad),
+                h5.create_dataset(k, chunks=(ch, d.adj_pad, d.adj_pad),
                                   data=rng.integers(
                     0, 3, (n, d.adj_pad, d.adj_pad), dtype=np.int64))
         print(f"wrote {a.h5} "
