@@ -19,6 +19,13 @@ EOF
 
 run() {  # run <tag> <timeout_s> <cmd...>
   local tag="$1" to="$2"; shift 2
+  # resumable: a tag that already has a result row is not re-run, so a
+  # flaky relay window can re-invoke the script and continue where the
+  # last window ended
+  if grep -q "\"tag\": \"$tag\", \"row\"" "$OUT" 2>/dev/null; then
+    echo "=== $tag (cached in $OUT, skipping) ==="
+    return 0
+  fi
   if ! probe; then
     echo "{\"tag\": \"$tag\", \"skipped\": \"relay down\"}" >> "$OUT"
     return 1
@@ -58,6 +65,7 @@ run train_bucket48 2400 python scripts/bench_train.py --buckets 48
 # 4. profiles (trace dirs under /tmp/ekaid_traces)
 run prof_extract  2400 python scripts/profile_capture.py --target extract
 run prof_train    2400 python scripts/profile_capture.py --target train
+run prof_decode   2400 python scripts/profile_capture.py --target decode
 # 5. concurrent serving load (VERDICT #8 done-bar: >5x single-flight
 #    at bounded p99 with 16 clients)
 run serving_load  3600 python scripts/bench_serving_load.py --clients 16
