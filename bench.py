@@ -183,8 +183,19 @@ def bench_qa(platform: str, variants: bool = False):
         jnp.zeros((batch_size, cfg.speaker.seq_length), jnp.int32),
         jnp.float32(0))
 
-    n_lo, n_hi = (10, 40) if platform == "tpu" else (1, 3)
-    per, fixed = _slope_time(run_chain, n_lo, n_hi)
+    if platform == "tpu":
+        # slope-chained: cancels the ~30-60 ms relay roundtrip (axon
+        # acks buffers before execution; see STATUS round-2 notes)
+        n_lo, n_hi = 10, 40
+        per, fixed = _slope_time(run_chain, n_lo, n_hi)
+    else:
+        # cpu-fallback: plain steady-state average, the SAME estimator
+        # as the BASELINE.json torch-CPU anchor (bench_baseline_torch)
+        # — a slope fit here soaks one-time lazy AOT loads into a
+        # fictional multi-second "fixed latency" and inflates the rate,
+        # making vs_baseline a cross-protocol lie
+        run_chain(1)                      # absorb lazy init
+        per, fixed = run_chain(3) / 3, 0.0
 
     out = {"pairs_per_sec": batch_size / per,
            "decode_tflops": round(tflops, 4),
