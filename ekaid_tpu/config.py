@@ -101,6 +101,12 @@ class SpeakerConfig:
     # the 90-step scan; ~0.4% per-weight rounding — models/quant.py).
     # Eval-only, like fused_core. 'none' | 'int8'.
     weight_quant: str = "none"
+    # run the WHOLE greedy decode loop as one Pallas kernel (weights
+    # VMEM-resident, states in registers, in-kernel early exit) instead
+    # of the XLA lax.while_loop — attacks the per-step scheduling
+    # latency the scan can't hide (models/pallas_decode.py). Eval-only,
+    # greedy only. 'xla' | 'pallas' | 'pallas_interpret' (CPU debug).
+    decode_kernel: str = "xla"
     # rematerialization policy for the teacher-forcing scan body during
     # TRAINING: 'none' stores every step's activations for the backward
     # (XLA default), 'dots' (jax.checkpoint_policies.checkpoint_dots)

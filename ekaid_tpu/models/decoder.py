@@ -353,6 +353,17 @@ class DynamicSpeaker(nn.Module):
         keys = jax.random.split(rng, T)
 
         fused, feats = self._fused(feat_bef, feat_diff, feat_aft, None)
+        if (sample_max and not self.is_mutable_collection("params")
+                and c.decode_kernel.startswith("pallas")):
+            # whole-loop Pallas kernel (models/pallas_decode.py):
+            # weights VMEM-resident, in-kernel early exit; greedy only
+            from ekaid_tpu.models.pallas_decode import pallas_greedy_decode
+            return pallas_greedy_decode(
+                {"word_emb": self.word_emb,
+                 "core": self.core.variables["params"],
+                 "logit": self.logit.variables["params"]},
+                c, self.policy, fused, feats,
+                interpret=(c.decode_kernel == "pallas_interpret"))
         state0 = self._init_state(B)
         bos = jnp.full((B,), c.bos_token, jnp.int32)
         vocab_iota = jnp.arange(c.vocab_size)

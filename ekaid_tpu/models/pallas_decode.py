@@ -1,0 +1,209 @@
+"""Monolithic Pallas greedy-decode kernel: the whole answer loop on-chip.
+
+Re-designs the reference's per-token Python sampling loop
+(dynamic_speaker_change_pos.py:287-357) one level further than the XLA
+lax.while_loop in decoder.py::sample. Measured on the v5e, the XLA
+decode runs at ~2.1-2.7x its pure-MXU compute time at every batch size
+(b64 63 us/step vs ~23 us of matmul; scripts/bench_decode_sweep.py),
+and the per-step weight traffic is already VMEM-resident (XLA pins all
+~29.4 MB of decode weights in S(1) copies — see STATUS round-3 item 4),
+so the remaining gap is *serial per-op scheduling latency* inside each
+scan step: ~15 small dependent HLO ops whose pipeline bubbles cannot be
+hidden because step t+1 depends on step t's argmax.
+
+This kernel runs ALL T decode steps inside ONE pallas_call: every
+weight is loaded into VMEM once, the (h, c) states and the token live
+in registers/VMEM for the whole loop, and the early-exit
+(`all sequences finished`) is a lax.while_loop in-kernel. Per step it
+executes the same math as DynamicCore + _out_logprobs, in the same
+order (two-dot LSTM cells, f32 softmaxes, one-hot-matmul embedding
+lookup — exact for one-hot operands), so outputs match the XLA path
+(exactly at f32; tested in tests/test_pallas_decode.py).
+
+Inference-only (greedy sample_max, no dropout, no VJP) — the eval/
+serving path. `speaker.decode_kernel='pallas'` opts in; teacher forcing
+and beam search keep the XLA paths. Weights stay in VMEM: ~29.4 MB bf16
+at flagship dims (R=512, E=1024, D=1024, W=300, V=148), under the
+raised 112 MB scoped-vmem limit (v5e VMEM is 128 MB/core).
+
+Kernel-layout notes (same lessons as ops/pallas_roi.py): everything is
+kept 2-D with batch on sublanes; outputs are written row-per-step as
+[T, B] (sublane-dim dynamic stores) and transposed on the way out;
+module weights go to a [T, 3*B] ref at static column offsets (a [T,B,3]
+ref would lane-pad 43x); tpu iota must be >=2-D (broadcasted_iota).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ekaid_tpu.utils.dtypes import Policy
+
+
+def _gates(z, c_prev):
+    """LSTMCell gate math (layers.py::LSTMCell, torch gate order)."""
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+    return jax.nn.sigmoid(o) * jnp.tanh(c), c
+
+
+def _decode_kernel(cfg, policy, n_weights,
+                   # refs: [bos, fused, feats] + weights + outputs
+                   *refs):
+    (bos_ref, fused_ref, feats_ref), w = refs[:3], refs[3:3 + n_weights]
+    seq_ref, lps_ref, mw_ref = refs[3 + n_weights:]
+    (wemb, wih_mod, whh_mod, b_mod, wfc, bfc, wpos1, bpos1, wwp, bwp,
+     wpos2, bpos2, wg1, bg1, wg2, bg2, wih_lang, whh_lang, b_lang,
+     wlogit, blogit) = [r[:] for r in w]
+
+    B = fused_ref.shape[0]
+    T = seq_ref.shape[0]
+    D = cfg.input_dim
+    V = cfg.vocab_size
+    R = cfg.rnn_size
+    dt = policy.compute_dtype
+    st = policy.softmax_dtype
+
+    seq_ref[:] = jnp.zeros_like(seq_ref)
+    lps_ref[:] = jnp.zeros_like(lps_ref)
+    mw_ref[:] = jnp.zeros_like(mw_ref)
+
+    fused = fused_ref[:]
+    feats = feats_ref[:]                              # [B, 3*D]
+    f_bef, f_dif, f_aft = feats[:, :D], feats[:, D:2 * D], feats[:, 2 * D:]
+    lanes_v = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    neg_inf = jnp.asarray(-jnp.inf, st)
+    zeros_r = jnp.zeros((B, R), dt)
+
+    def step(carry):
+        t, it, unfin, h_mod, c_mod, h_lang, c_lang = carry
+        # ---- embedding lookup as one-hot matmul (exact) + ReLU ------
+        onehot = (lanes_v == it.T).astype(dt)         # it [1,B] -> [B,1]
+        xt = jax.nn.relu(jnp.dot(onehot, wemb, preferred_element_type=dt))
+        # ---- module-attention LSTM ----------------------------------
+        z_mod = (jnp.dot(jnp.concatenate([fused, h_lang], -1), wih_mod,
+                         preferred_element_type=dt)
+                 + jnp.dot(h_mod, whh_mod, preferred_element_type=dt)
+                 + b_mod)
+        h_mod, c_mod = _gates(z_mod, c_mod)
+        mw = jax.nn.softmax(
+            (jnp.dot(h_mod, wfc, preferred_element_type=dt)
+             + bfc).astype(st), axis=-1)              # [B, 3] f32
+        # ---- POS head ------------------------------------------------
+        vpos = jax.nn.relu(jnp.dot(h_lang, wpos1,
+                                   preferred_element_type=dt) + bpos1)
+        dpos = jnp.dot(vpos, wwp, preferred_element_type=dt) + bwp
+        ppos = (jnp.dot(jax.nn.softmax(dpos.astype(st), -1).astype(dt),
+                        wpos2, preferred_element_type=dt) + bpos2)
+        # ---- gated module fusion ------------------------------------
+        mw_c = mw.astype(dt)
+        att = (mw_c[:, 0:1] * f_bef + mw_c[:, 1:2] * f_dif
+               + mw_c[:, 2:3] * f_aft)
+        gate_h = jax.nn.relu(
+            jnp.dot(jnp.concatenate([h_lang, ppos, att], -1), wg1,
+                    preferred_element_type=dt) + bg1)
+        gate = jax.nn.sigmoid(jnp.dot(gate_h, wg2,
+                                      preferred_element_type=dt) + bg2)
+        # ---- language LSTM ------------------------------------------
+        z_lang = (jnp.dot(jnp.concatenate([xt, gate * att], -1), wih_lang,
+                          preferred_element_type=dt)
+                  + jnp.dot(h_lang, whh_lang, preferred_element_type=dt)
+                  + b_lang)
+        h_lang, c_lang = _gates(z_lang, c_lang)
+        # ---- logits -> greedy token ---------------------------------
+        logits = (jnp.dot(h_lang, wlogit, preferred_element_type=dt)
+                  + blogit).astype(st)
+        m = jnp.max(logits, -1, keepdims=True)
+        logp = logits - (m + jnp.log(jnp.sum(jnp.exp(logits - m), -1,
+                                             keepdims=True)))
+        logp = jnp.where((t == 0) & (lanes_v == 0), neg_inf, logp)
+        if cfg.decoding_constraint:
+            logp = jnp.where((lanes_v == it.T) & (t > 0), neg_inf, logp)
+        nxt = jnp.argmax(logp, -1).astype(jnp.int32)[None, :]   # [1, B]
+        lp = jnp.max(logp, -1)[None, :]
+        unfin = unfin * (nxt > 0).astype(unfin.dtype)
+        nxt = nxt * unfin
+        # ---- write step outputs (sublane-dim dynamic row) -----------
+        seq_ref[pl.ds(t, 1), :] = nxt
+        lps_ref[pl.ds(t, 1), :] = lp.astype(lps_ref.dtype)
+        live = (nxt > 0).astype(mw_ref.dtype)         # [1, B]
+        for k in range(3):                            # static offsets
+            mw_ref[pl.ds(t, 1), k * B:(k + 1) * B] = \
+                mw[:, k].astype(mw_ref.dtype)[None, :] * live
+        return t + 1, nxt, unfin, h_mod, c_mod, h_lang, c_lang
+
+    def cond(carry):
+        t, _, unfin = carry[0], carry[1], carry[2]
+        return (t < T) & (jnp.sum(unfin) > 0)
+
+    it0 = bos_ref[:].astype(jnp.int32)                # [1, B]
+    jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), it0, jnp.ones((1, B), jnp.int32),
+         zeros_r, zeros_r, zeros_r, zeros_r))
+
+
+def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
+                         fused, feats, interpret: bool = False
+                         ) -> Dict[str, jnp.ndarray]:
+    """Run the whole greedy decode in one kernel.
+
+    speaker_params: DynamicSpeaker variables['params'] (word_emb, core,
+    logit; 'embed' is consumed by the caller's _fused). fused [B, E],
+    feats [B, 3, D] as produced by DynamicSpeaker._fused.
+
+    Returns the same dict as DynamicSpeaker.sample(sample_max=True):
+    seq [B, T] int32, logprobs [B, T] f32, module_weights [B, T, 3]
+    (rows zeroed past EOS).
+    """
+    c = cfg
+    core = speaker_params["core"]
+    cast = policy.cast_compute
+    B = fused.shape[0]
+    T = c.seq_length
+    # biases reshaped to [1, N]: Mosaic wants >=2-D VMEM operands
+    def w2(x):
+        x = cast(x)
+        return x.reshape(1, -1) if x.ndim == 1 else x
+
+    weights = [w2(x) for x in (
+        speaker_params["word_emb"],
+        core["module_att_lstm"]["w_ih"], core["module_att_lstm"]["w_hh"],
+        core["module_att_lstm"]["b"],
+        core["weight_fc"]["kernel"], core["weight_fc"]["bias"],
+        core["pos1"]["kernel"], core["pos1"]["bias"],
+        core["weight_pos"]["kernel"], core["weight_pos"]["bias"],
+        core["pos2"]["kernel"], core["pos2"]["bias"],
+        core["gate1x"]["kernel"], core["gate1x"]["bias"],
+        core["gate2x"]["kernel"], core["gate2x"]["bias"],
+        core["lang_lstm"]["w_ih"], core["lang_lstm"]["w_hh"],
+        core["lang_lstm"]["b"],
+        speaker_params["logit"]["kernel"], speaker_params["logit"]["bias"],
+    )]
+    bos = jnp.full((1, B), c.bos_token, jnp.int32)
+    feats2d = cast(feats.reshape(B, -1))              # [B, 3*D]
+
+    kw = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20)}
+    seq_t, lps_t, mw_t = pl.pallas_call(
+        partial(_decode_kernel, c, policy, len(weights)),
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, 3 * B), jnp.float32),
+        ],
+        interpret=interpret,
+        **kw,
+    )(bos, cast(fused), feats2d, *weights)
+
+    seq = seq_t.T                                     # [B, T]
+    lps = lps_t.T
+    mws = jnp.stack([mw_t[:, k * B:(k + 1) * B].T for k in range(3)], -1)
+    return {"seq": seq, "logprobs": lps, "module_weights": mws}

@@ -37,6 +37,11 @@ def relay_up() -> bool:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="64,128,256")
+    p.add_argument("--kernel", default="xla",
+                   choices=["xla", "pallas", "pallas_interpret"],
+                   help="speaker.decode_kernel: 'pallas' runs the whole "
+                        "greedy loop as one VMEM-resident kernel "
+                        "(models/pallas_decode.py)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -62,8 +67,30 @@ def main():
 
     platform = jax.devices()[0].platform
     cfg = default_config()
+    cfg = cfg.replace(speaker=cfg.speaker.replace(decode_kernel=a.kernel))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
+
+    if a.kernel != "xla":
+        # agreement gate vs the XLA path (bf16 on-chip: summation-order
+        # differences can flip near-tie argmaxes; record the fraction)
+        import numpy as np
+        b0 = int(a.batches.split(",")[0])
+        batch0 = jax.tree.map(jnp.asarray, synthetic_batch(cfg, b0, seed=0))
+        p0 = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, batch0,
+                        train=True)
+        p0 = cast_params_for_inference(p0, policy)
+        m_ref = EkaidModel(cfg.replace(speaker=cfg.speaker.replace(
+            decode_kernel="xla")), ntoken=147, policy=policy)
+        s_ref = np.asarray(m_ref.apply(p0, batch0, method="decode",
+                                       sample_max=True)["seq"])
+        s_ker = np.asarray(model.apply(p0, batch0, method="decode",
+                                       sample_max=True)["seq"])
+        print(json.dumps({
+            "kernel": a.kernel, "batch": b0,
+            "token_match": round(float((s_ref == s_ker).mean()), 4),
+            "seq_exact": bool((s_ref == s_ker).all())}), flush=True)
 
     params = None
     for b in [int(x) for x in a.batches.split(",")]:

@@ -66,6 +66,11 @@ run train_bucket48 2400 python scripts/bench_train.py --buckets 48
 run prof_extract  2400 python scripts/profile_capture.py --target extract
 run prof_train    2400 python scripts/profile_capture.py --target train
 run prof_decode   2400 python scripts/profile_capture.py --target decode
+# 4b. monolithic Pallas decode kernel A/B (weights VMEM-resident,
+#     in-kernel early exit; interpret-mode exact vs XLA at f32,
+#     tests/test_pallas_decode.py). First compile may be slow on the
+#     remote-compile service (90-step in-kernel loop).
+run decode_pallas 3600 python scripts/bench_decode_sweep.py --kernel pallas --batches 64,128
 # 5. concurrent serving load (VERDICT #8 done-bar: >5x single-flight
 #    at bounded p99 with 16 clients)
 run serving_load  3600 python scripts/bench_serving_load.py --clients 16

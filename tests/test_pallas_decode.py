@@ -1,0 +1,97 @@
+"""Monolithic Pallas decode kernel vs the XLA while_loop path.
+
+Interpret-mode equivalence at f32 (CPU): greedy tokens must match
+exactly; logprobs/module weights to f32 summation-order tolerance.
+The on-chip (bf16, compiled) A/B runs in scripts/run_tpu_queue.sh /
+bench.py --variants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekaid_tpu.config import default_config
+from ekaid_tpu.data.synthetic import synthetic_batch
+from ekaid_tpu.models.ekaid import EkaidModel
+from ekaid_tpu.utils.dtypes import F32
+
+NTOKEN = 147
+
+
+def tiny_cfg():
+    cfg = default_config()
+    return cfg.replace(
+        change_detector=cfg.change_detector.replace(
+            att_dim=64, att_head=4, dim=16, pos_emb_dim=16),
+        speaker=cfg.speaker.replace(
+            input_dim=64, rnn_size=32, embed_input_dim=192, embed_dim=64,
+            word_embed_size=24, seq_length=12),
+        data=cfg.data.replace(num_nodes=8, feature_dim=48, adj_pad=20),
+        question=cfg.question.replace(hidden_dim=64))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 4, seed=3))
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    return cfg, batch, params
+
+
+def _decode(cfg, params, batch, kernel: bool):
+    if kernel:
+        cfg = cfg.replace(speaker=cfg.speaker.replace(
+            decode_kernel="pallas_interpret"))
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    return model.apply(params, batch, method="decode", sample_max=True)
+
+
+def _assert_match(ref, out):
+    np.testing.assert_array_equal(np.asarray(ref["seq"]),
+                                  np.asarray(out["seq"]))
+    np.testing.assert_allclose(np.asarray(ref["logprobs"]),
+                               np.asarray(out["logprobs"]),
+                               atol=5e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref["module_weights"]),
+                               np.asarray(out["module_weights"]),
+                               atol=5e-6)
+
+
+def test_kernel_matches_xla(setup):
+    cfg, batch, params = setup
+    _assert_match(_decode(cfg, params, batch, False),
+                  _decode(cfg, params, batch, True))
+
+
+def test_kernel_matches_xla_early_exit(setup):
+    """Bias the logit head hard toward token 0 so every row emits EOS
+    at step 1 (step 0 is NULL-suppressed): the kernel's in-kernel
+    while_loop exit must leave the identical zero tail."""
+    cfg, batch, params = setup
+    p = jax.tree.map(lambda x: x, params)    # shallow copy of the tree
+    bias = np.asarray(p["params"]["speaker"]["logit"]["bias"]).copy()
+    bias[0] += 100.0
+    p = jax.tree_util.tree_map(lambda x: x, p)
+    p["params"]["speaker"]["logit"]["bias"] = jnp.asarray(bias)
+    ref = _decode(cfg, p, batch, False)
+    out = _decode(cfg, p, batch, True)
+    seq = np.asarray(ref["seq"])
+    assert (seq[:, 1:] == 0).all() and (seq[:, 0] > 0).all()
+    _assert_match(ref, out)
+    # post-EOS module-weight rows are zeroed in both paths
+    assert np.asarray(out["module_weights"])[:, 1:].sum() == 0.0
+
+
+def test_kernel_matches_xla_decoding_constraint(setup):
+    cfg, batch, params = setup
+    cfg = cfg.replace(speaker=cfg.speaker.replace(decoding_constraint=1))
+    ref = _decode(cfg, params, batch, False)
+    out = _decode(cfg, params, batch, True)
+    seq = np.asarray(ref["seq"])
+    live = seq[:, :-1] > 0
+    assert not ((seq[:, 1:] == seq[:, :-1]) & live).any()  # no repeats
+    _assert_match(ref, out)
