@@ -59,8 +59,8 @@ def _decode_kernel(cfg, policy, n_weights,
     (bos_ref, fused_ref, feats_ref), w = refs[:3], refs[3:3 + n_weights]
     seq_ref, lps_ref, mw_ref = refs[3 + n_weights:]
     (wemb, wih_mod, whh_mod, b_mod, wfc, bfc, wpos1, bpos1, wwp, bwp,
-     wpos2, bpos2, wg1, bg1, wg2, bg2, wih_lang, whh_lang, b_lang,
-     wlogit, blogit) = [r[:] for r in w]
+     wpos2, bpos2, wg1, bg1, wg2, bg2, wih_lang_x, wih_lang_a,
+     whh_lang, b_lang, wlogit, blogit) = [r[:] for r in w]
 
     B = fused_ref.shape[0]
     T = seq_ref.shape[0]
@@ -110,9 +110,11 @@ def _decode_kernel(cfg, policy, n_weights,
                     preferred_element_type=dt) + bg1)
         gate = jax.nn.sigmoid(jnp.dot(gate_h, wg2,
                                       preferred_element_type=dt) + bg2)
-        # ---- language LSTM ------------------------------------------
-        z_lang = (jnp.dot(jnp.concatenate([xt, gate * att], -1), wih_lang,
-                          preferred_element_type=dt)
+        # ---- language LSTM (w_ih split on host: a [xt | gate*att]
+        # lane-concat at offset 300 is not 128-aligned for Mosaic) ----
+        z_lang = (jnp.dot(xt, wih_lang_x, preferred_element_type=dt)
+                  + jnp.dot(gate * att, wih_lang_a,
+                            preferred_element_type=dt)
                   + jnp.dot(h_lang, whh_lang, preferred_element_type=dt)
                   + b_lang)
         h_lang, c_lang = _gates(z_lang, c_lang)
@@ -125,8 +127,10 @@ def _decode_kernel(cfg, policy, n_weights,
         logp = jnp.where((t == 0) & (lanes_v == 0), neg_inf, logp)
         if cfg.decoding_constraint:
             logp = jnp.where((lanes_v == it.T) & (t > 0), neg_inf, logp)
-        nxt = jnp.argmax(logp, -1).astype(jnp.int32)[None, :]   # [1, B]
-        lp = jnp.max(logp, -1)[None, :]
+        # keep intermediates 2-D for Mosaic (no 1-D squeezes)
+        nxt = jnp.transpose(jnp.argmax(logp, -1, keepdims=True)
+                            .astype(jnp.int32))               # [1, B]
+        lp = jnp.transpose(jnp.max(logp, -1, keepdims=True))  # [1, B]
         unfin = unfin * (nxt > 0).astype(unfin.dtype)
         nxt = nxt * unfin
         # ---- write step outputs (sublane-dim dynamic row) -----------
@@ -135,7 +139,7 @@ def _decode_kernel(cfg, policy, n_weights,
         live = (nxt > 0).astype(mw_ref.dtype)         # [1, B]
         for k in range(3):                            # static offsets
             mw_ref[pl.ds(t, 1), k * B:(k + 1) * B] = \
-                mw[:, k].astype(mw_ref.dtype)[None, :] * live
+                jnp.transpose(mw[:, k:k + 1]).astype(mw_ref.dtype) * live
         return t + 1, nxt, unfin, h_mod, c_mod, h_lang, c_lang
 
     def cond(carry):
@@ -182,8 +186,10 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
         core["pos2"]["kernel"], core["pos2"]["bias"],
         core["gate1x"]["kernel"], core["gate1x"]["bias"],
         core["gate2x"]["kernel"], core["gate2x"]["bias"],
-        core["lang_lstm"]["w_ih"], core["lang_lstm"]["w_hh"],
-        core["lang_lstm"]["b"],
+        # lang w_ih split at the word-embedding boundary (see kernel)
+        core["lang_lstm"]["w_ih"][:c.word_embed_size],
+        core["lang_lstm"]["w_ih"][c.word_embed_size:],
+        core["lang_lstm"]["w_hh"], core["lang_lstm"]["b"],
         speaker_params["logit"]["kernel"], speaker_params["logit"]["bias"],
     )]
     bos = jnp.full((1, B), c.bos_token, jnp.int32)

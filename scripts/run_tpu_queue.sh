@@ -70,7 +70,7 @@ run prof_decode   2400 python scripts/profile_capture.py --target decode
 #     in-kernel early exit; interpret-mode exact vs XLA at f32,
 #     tests/test_pallas_decode.py). First compile may be slow on the
 #     remote-compile service (90-step in-kernel loop).
-run decode_pallas 3600 python scripts/bench_decode_sweep.py --kernel pallas --batches 64,128
+run decode_pallas 3600 python scripts/bench_decode_sweep.py --kernel pallas --batches 1,64,128
 # 5. concurrent serving load (VERDICT #8 done-bar: >5x single-flight
 #    at bounded p99 with 16 clients)
 run serving_load  3600 python scripts/bench_serving_load.py --clients 16
