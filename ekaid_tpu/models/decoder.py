@@ -353,6 +353,13 @@ class DynamicSpeaker(nn.Module):
         keys = jax.random.split(rng, T)
 
         fused, feats = self._fused(feat_bef, feat_diff, feat_aft, None)
+        if c.decode_kernel.startswith("pallas") and (
+                c.weight_quant != "none" or c.fused_core):
+            raise ValueError(
+                "speaker.decode_kernel='pallas' replaces the whole XLA "
+                "decode loop and cannot compose with weight_quant/"
+                "fused_core (those rewrite the XLA scan step); disable "
+                "one of the conflicting knobs")
         if (sample_max and not self.is_mutable_collection("params")
                 and c.decode_kernel.startswith("pallas")):
             # whole-loop Pallas kernel (models/pallas_decode.py):

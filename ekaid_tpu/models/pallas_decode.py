@@ -47,10 +47,9 @@ from ekaid_tpu.utils.dtypes import Policy
 
 
 def _gates(z, c_prev):
-    """LSTMCell gate math (layers.py::LSTMCell, torch gate order)."""
-    i, f, g, o = jnp.split(z, 4, axis=-1)
-    c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
-    return jax.nn.sigmoid(o) * jnp.tanh(c), c
+    """LSTMCell gate math — single shared copy (decoder._lstm_gates)."""
+    from ekaid_tpu.models.decoder import _lstm_gates
+    return _lstm_gates(z, c_prev, cast=lambda x: x)
 
 
 def _decode_kernel(cfg, policy, n_weights,

@@ -87,9 +87,16 @@ def main():
                                        sample_max=True)["seq"])
         s_ker = np.asarray(model.apply(p0, batch0, method="decode",
                                        sample_max=True)["seq"])
+        # match only over LIVE positions (either path still emitting);
+        # both paths zero the post-EOS tail, so counting it would let a
+        # wrong kernel pass the gate on tail agreement alone
+        live = (s_ref > 0) | (s_ker > 0)
+        n_live = max(int(live.sum()), 1)
         print(json.dumps({
             "kernel": a.kernel, "batch": b0,
-            "token_match": round(float((s_ref == s_ker).mean()), 4),
+            "token_match": round(
+                float((s_ref == s_ker)[live].sum() / n_live), 4),
+            "live_tokens": int(live.sum()),
             "seq_exact": bool((s_ref == s_ker).all())}), flush=True)
 
     params = None

@@ -66,9 +66,11 @@ def main():
         try:
             with h5py.File(a.h5, "r") as h5:
                 f = h5["image_features"]
+                adj = h5["image_adj_matrix"]
                 ok = (f.shape[0] >= a.images
                       and f.dtype == np.dtype(a.feat_dtype)
-                      and f.shape[1:] == (d.num_nodes, d.feature_dim))
+                      and f.shape[1:] == (d.num_nodes, d.feature_dim)
+                      and adj.shape[1:] == (d.adj_pad, d.adj_pad))
         except Exception:
             ok = False
         if not ok:

@@ -19,11 +19,11 @@ EOF
 
 run() {  # run <tag> <timeout_s> <cmd...>
   local tag="$1" to="$2"; shift 2
-  # resumable: a tag that already has a result row is not re-run, so a
-  # flaky relay window can re-invoke the script and continue where the
-  # last window ended
-  if grep -q "\"tag\": \"$tag\", \"row\"" "$OUT" 2>/dev/null; then
-    echo "=== $tag (cached in $OUT, skipping) ==="
+  # resumable: only a DONE marker (written on exit 0) caches a job —
+  # a multi-row sweep that printed some rows then crashed/timed out
+  # must re-run in the next relay window, not be skipped forever
+  if grep -q "\"tag\": \"$tag\", \"done\": true" "$OUT" 2>/dev/null; then
+    echo "=== $tag (done in $OUT, skipping) ==="
     return 0
   fi
   if ! probe; then
@@ -40,6 +40,8 @@ run() {  # run <tag> <timeout_s> <cmd...>
   local rc=${PIPESTATUS[0]}
   if [ "$rc" -ne 0 ]; then
     echo "{\"tag\": \"$tag\", \"exit\": $rc}" >> "$OUT"
+  else
+    echo "{\"tag\": \"$tag\", \"done\": true}" >> "$OUT"
   fi
 }
 

@@ -95,3 +95,16 @@ def test_kernel_matches_xla_decoding_constraint(setup):
     live = seq[:, :-1] > 0
     assert not ((seq[:, 1:] == seq[:, :-1]) & live).any()  # no repeats
     _assert_match(ref, out)
+
+
+def test_kernel_rejects_conflicting_knobs(setup):
+    """weight_quant/fused_core rewrite the XLA scan step; the pallas
+    kernel replaces that loop wholesale — a combined config must fail
+    loudly, not silently measure plain pallas (review finding r3)."""
+    cfg, batch, params = setup
+    for knob in ({"weight_quant": "int8"}, {"fused_core": True}):
+        bad = cfg.replace(speaker=cfg.speaker.replace(
+            decode_kernel="pallas_interpret", **knob))
+        model = EkaidModel(bad, ntoken=NTOKEN, policy=F32)
+        with pytest.raises(ValueError, match="decode_kernel"):
+            model.apply(params, batch, method="decode", sample_max=True)
