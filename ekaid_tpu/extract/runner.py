@@ -209,8 +209,10 @@ def synthetic_batches(n: int, image_size: int, batch_size: int
 
 
 def main(argv=None):
-    from ekaid_tpu.utils.platform import apply_platform_env
+    from ekaid_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()   # axon remote compiles take minutes
     p = argparse.ArgumentParser(description="CXR feature extraction")
     p.add_argument("--cfg", default=None)
     p.add_argument("--image_dir", default=None)

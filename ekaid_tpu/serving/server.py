@@ -359,8 +359,10 @@ def make_handler(engine: InferenceEngine):
 
 
 def main(argv=None):
-    from ekaid_tpu.utils.platform import apply_platform_env
+    from ekaid_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()   # axon remote compiles take minutes
     p = argparse.ArgumentParser(description="EKAID-TPU inference server")
     p.add_argument("--cfg", default=None)
     p.add_argument("--checkpoint_dir", default=None)

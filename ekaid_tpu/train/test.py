@@ -51,8 +51,10 @@ def run_test(trainer: Trainer, checkpoint_dir: str = None,
 
 
 def main(argv=None):
-    from ekaid_tpu.utils.platform import apply_platform_env
+    from ekaid_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()   # axon remote compiles take minutes
     p = argparse.ArgumentParser(description="EKAID-TPU batch inference")
     p.add_argument("-p", "--checkpoint_dir", default=None,
                    help="snapshots directory (or None for fresh params)")

@@ -295,8 +295,10 @@ def build_trainer(cfg: Config, workdir: str,
 
 
 def main(argv=None):
-    from ekaid_tpu.utils.platform import apply_platform_env
+    from ekaid_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()   # axon remote compiles take minutes
     p = argparse.ArgumentParser(description="EKAID-TPU training")
     p.add_argument("--cfg", default=None, help="YAML config overlay")
     p.add_argument("--graph", default="all",

@@ -290,8 +290,10 @@ class DetectorTrainer:
 
 
 def main(argv=None):
-    from ekaid_tpu.utils.platform import apply_platform_env
+    from ekaid_tpu.utils.platform import (apply_platform_env,
+                                            enable_compile_cache)
     apply_platform_env()
+    enable_compile_cache()   # axon remote compiles take minutes
     p = argparse.ArgumentParser(description="EKAID-TPU detector training")
     p.add_argument("--cfg", default=None)
     p.add_argument("--which", default="anatomy",
