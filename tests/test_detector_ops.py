@@ -559,3 +559,35 @@ def test_canvas_roi_group_sizes_match(rng):
             [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
             out_size=7, interpret=True, group=g))
         np.testing.assert_array_equal(got, base)
+
+
+def test_canvas_roi_fuzz_vs_xla_oracle(rng):
+    """Randomized sweep of the TPU-default canvas kernel vs the XLA
+    gather oracle: 400 random ROIs over a 512-frame pyramid, checked on
+    the non-level-bumped subset (the bump is the documented deviation,
+    equivalence-tested separately against the patch-DMA kernel)."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [rng.standard_normal((128 >> i, 128 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    r = 400
+    rois = rng.uniform(-20, 540, (r, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[:, :2], rois[:, 2:]),
+                           np.maximum(rois[:, :2], rois[:, 2:])
+                           + rng.uniform(0.5, 3, (r, 2)).astype(np.float32)],
+                          axis=1)
+    long_side = np.maximum(rois[:, 2] - rois[:, 0],
+                           rois[:, 3] - rois[:, 1])
+    lv = np.asarray(assign_levels(jnp.asarray(rois))) - 2
+    need = np.ceil(np.log2(np.maximum(long_side * 0.25 / 44.0,
+                                      1e-6))).astype(int)
+    unbumped = np.clip(np.maximum(lv, need), 0, 3) == lv
+    assert unbumped.sum() > r // 2   # the sweep must mostly hit the hot path
+    got = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True))
+    want = np.asarray(multilevel_roi_align(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7))
+    np.testing.assert_allclose(got[unbumped], want[unbumped],
+                               rtol=1e-4, atol=1e-5)
