@@ -206,6 +206,12 @@ class TrainConfig:
     # step; () = always full seq_length (reference behavior). See
     # data/pipeline.py::trim_batch_to_bucket.
     length_buckets: Tuple[int, ...] = ()
+    # gradient accumulation: split each batch into this many
+    # microbatches scanned inside the step, one optimizer update —
+    # peak activation memory drops by the factor (effective batches
+    # past the HBM ceiling). Loss/grads equal the full-batch step
+    # exactly (train/step.py); only dropout mask draws differ.
+    accum_steps: int = 1
     seed: int = 1238
     optim: OptimConfig = field(default_factory=OptimConfig)
 

@@ -104,24 +104,33 @@ class EkaidModel(nn.Module):
         return {**enc, **dec}
 
 
-def language_model_loss(logprobs, targets, masks) -> jnp.ndarray:
+def language_model_loss(logprobs, targets, masks,
+                        denom=None) -> jnp.ndarray:
     """Masked NLL (LanguageModelCriterion, model/utils/utils.py:204-216):
     -sum(logp[target] * mask) / sum(mask).
 
     logprobs: [B, T, V]; targets/masks: [B, >=T] (truncated to T).
+    denom: overrides the mask-sum normalizer — used by gradient
+    accumulation, where each microbatch divides by the FULL batch's
+    mask sum so the microbatch losses sum exactly to the batch loss.
     """
     T = logprobs.shape[1]
     targets = targets[:, :T]
     masks = masks[:, :T].astype(logprobs.dtype)
     picked = jnp.take_along_axis(logprobs, targets[..., None],
                                  axis=-1)[..., 0]
-    return -jnp.sum(picked * masks) / jnp.maximum(jnp.sum(masks), 1.0)
+    if denom is None:
+        denom = jnp.maximum(jnp.sum(masks), 1.0)
+    return -jnp.sum(picked * masks) / denom
 
 
-def attention_regularizer(att_bef, att_aft) -> jnp.ndarray:
+def attention_regularizer(att_bef, att_aft, batch=None) -> jnp.ndarray:
     """Sigmoid-attention sparsity term (train_mimic.py:246-247):
-    (sum(att_bef) + sum(att_aft)) / (2 * batch)."""
-    b = att_bef.shape[0]
+    (sum(att_bef) + sum(att_aft)) / (2 * batch).
+
+    batch: overrides the normalizing batch size (gradient accumulation
+    passes the full batch size to each microbatch term)."""
+    b = att_bef.shape[0] if batch is None else batch
     return (jnp.sum(att_bef.astype(jnp.float32))
             + jnp.sum(att_aft.astype(jnp.float32))) / (2.0 * b)
 
@@ -150,10 +159,16 @@ def reward_loss(logprobs_taken, seq, reward) -> jnp.ndarray:
     return jnp.sum(out) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def total_loss(outputs, batch, att_reg_weight: float = 2.5e-3):
-    """train_mimic.py:242-247: NLL over labels[:, 1:] + attention term."""
+def total_loss(outputs, batch, att_reg_weight: float = 2.5e-3,
+               lang_denom=None, batch_denom=None):
+    """train_mimic.py:242-247: NLL over labels[:, 1:] + attention term.
+
+    lang_denom/batch_denom: full-batch normalizers for gradient
+    accumulation (train/step.py) — with them, per-microbatch losses
+    (and by linearity their grads) sum exactly to the batch loss."""
     lang = language_model_loss(outputs["logprobs"], batch["labels"][:, 1:],
-                               batch["masks"][:, 1:])
-    att = attention_regularizer(outputs["att_bef"], outputs["att_aft"])
+                               batch["masks"][:, 1:], denom=lang_denom)
+    att = attention_regularizer(outputs["att_bef"], outputs["att_aft"],
+                                batch=batch_denom)
     return lang + att_reg_weight * att, {"speaker_loss": lang,
                                          "att_reg": att}

@@ -78,27 +78,84 @@ def init_state(model: EkaidModel, tx, batch, rng) -> TrainState:
 def train_step(model: EkaidModel, tx, att_reg_weight: float,
                state: TrainState, batch: Dict, rng,
                ss_prob: float = 0.0,
-               param_cast: bool = False) -> Tuple[TrainState, Dict]:
+               param_cast: bool = False,
+               accum_steps: int = 1,
+               train: bool = True) -> Tuple[TrainState, Dict]:
     """One SGD step; pure function of (state, batch, rng).
 
     param_cast (dtypes.train_param_cast): cast f32 masters to the
     compute dtype once inside the grad — halves the decoder scan's
     per-step HBM weight reads (fwd + bwd) at the cost of bf16 weight-
-    gradient accumulation across scan steps (see config.py)."""
+    gradient accumulation across scan steps (see config.py).
+
+    accum_steps (train.accum_steps): split the batch into that many
+    microbatches, lax.scan the grad over them, apply ONE optimizer
+    update — peak activation memory drops by the factor, enabling
+    effective batches past the HBM ceiling. Loss/grads equal the
+    full-batch step exactly (each microbatch term is normalized by the
+    FULL batch's mask-sum/size, so terms sum to the batch loss); only
+    the dropout/sampling mask draw differs (per-microbatch fold_in).
+
+    train=False runs the step without dropout (several rates are
+    reference-parity hard-coded, e.g. the change detector's 0.5) —
+    the deterministic mode the accumulation-equivalence test uses."""
     step_rng = jax.random.fold_in(rng, state.step)
     d_rng, s_rng = jax.random.split(step_rng)
 
-    def loss_fn(params):
+    def loss_fn(params, mb, rngs, lang_denom=None, batch_denom=None):
         if param_cast:
             from ekaid_tpu.utils.dtypes import cast_params_for_inference
             params = cast_params_for_inference(params, model.policy)
-        out = model.apply(params, batch, ss_prob=ss_prob, train=True,
-                          rngs={"dropout": d_rng, "sample": s_rng})
-        loss, aux = total_loss(out, batch, att_reg_weight)
+        out = model.apply(params, mb, ss_prob=ss_prob, train=train,
+                          rngs=rngs)
+        loss, aux = total_loss(out, mb, att_reg_weight,
+                               lang_denom=lang_denom,
+                               batch_denom=batch_denom)
         return loss, aux
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params)
+    if accum_steps > 1:
+        B = batch["labels"].shape[0]
+        if B % accum_steps:
+            raise ValueError(
+                f"batch size {B} not divisible by "
+                f"train.accum_steps={accum_steps}")
+        m = B // accum_steps
+        # strided interleave (microbatch i = samples i::accum_steps):
+        # under data-parallel sharding each device's block contributes
+        # equally to EVERY microbatch, so no resharding is induced (a
+        # contiguous split would park whole microbatches on a subset
+        # of the mesh); the loss is permutation-invariant
+        micro = jax.tree.map(
+            lambda x: x.reshape((m, accum_steps) + x.shape[1:])
+                       .swapaxes(0, 1), batch)
+        # full-batch normalizers: microbatch losses then SUM to the
+        # batch loss (logprobs span labels[:, 1:], decoder.py T=L-1)
+        lang_denom = jnp.maximum(
+            batch["masks"][:, 1:].astype(jnp.float32).sum(), 1.0)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, inp):
+            loss_a, aux_a, grads_a = carry
+            mb, i = inp
+            rngs = {"dropout": jax.random.fold_in(d_rng, i),
+                    "sample": jax.random.fold_in(s_rng, i)}
+            (l, aux), g = grad_fn(state.params, mb, rngs,
+                                  lang_denom=lang_denom, batch_denom=B)
+            return (loss_a + l,
+                    jax.tree.map(jnp.add, aux_a, aux),
+                    jax.tree.map(jnp.add, grads_a, g)), None
+
+        zeros_like_f = lambda t: jax.tree.map(
+            lambda x: jnp.zeros(x.shape, x.dtype), t)
+        aux0 = {"speaker_loss": jnp.float32(0), "att_reg": jnp.float32(0)}
+        (loss, aux, grads), _ = jax.lax.scan(
+            body,
+            (jnp.float32(0), aux0, zeros_like_f(state.params)),
+            (micro, jnp.arange(accum_steps)))
+    else:
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            state.params, batch, {"dropout": d_rng, "sample": s_rng})
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = TrainState(step=state.step + 1, params=params,
@@ -143,7 +200,8 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
 
 def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
                       mesh: Mesh, state: TrainState, batch: Dict,
-                      ss_prob: float = 0.0, param_cast: bool = False):
+                      ss_prob: float = 0.0, param_cast: bool = False,
+                      accum_steps: int = 1):
     """Compile sharded train/eval steps over `mesh`.
 
     Params/opt_state follow the TP rules in parallel.mesh (replicated
@@ -167,7 +225,8 @@ def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
         if key not in cache:
             cache[key] = jax.jit(
                 partial(train_step, model, tx, att_reg_weight,
-                        ss_prob=key, param_cast=param_cast),
+                        ss_prob=key, param_cast=param_cast,
+                        accum_steps=accum_steps),
                 in_shardings=(state_sh, b_sh, rep),
                 out_shardings=(state_sh, rep),
                 donate_argnums=(0,))      # donate `state`

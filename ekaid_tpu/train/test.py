@@ -72,9 +72,15 @@ def main(argv=None):
                    help=">1 switches decode to beam search "
                         "(_sample dispatch parity, "
                         "dynamic_speaker_change_pos.py:299-301)")
+    p.add_argument("overrides", nargs="*", metavar="KEY VALUE",
+                   help="trailing dotted-key config overrides "
+                        "(merge_cfg_from_list parity)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
+    if a.overrides:
+        from ekaid_tpu.config import merge_from_list
+        cfg = merge_from_list(cfg, a.overrides)
     cfg = cfg.replace(train=cfg.train.replace(graph=a.graph),
                       data=cfg.data.replace(feature_mode=a.feature_mode))
     if a.synthetic:

@@ -98,7 +98,8 @@ class Trainer:
         self.make_train, self.jit_eval, self.state = make_jitted_steps(
             self.model, self.tx, cfg.train.att_reg_weight, self.mesh,
             state, example,
-            param_cast=getattr(cfg.dtypes, "train_param_cast", False))
+            param_cast=getattr(cfg.dtypes, "train_param_cast", False),
+            accum_steps=cfg.train.accum_steps)
         self.jit_train = self.make_train(0.0)
         self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
         self.best = self.ckpt.best_metric()
@@ -320,9 +321,17 @@ def main(argv=None):
                    help="restore the latest snapshot in the workdir "
                         "(train_mimic.py:40-43,125-142 parity — plus "
                         "optimizer state, which the reference drops)")
+    p.add_argument("overrides", nargs="*", metavar="KEY VALUE",
+                   help="trailing dotted-key config overrides, e.g. "
+                        "train.accum_steps 2 speaker.remat dots "
+                        "(merge_cfg_from_list parity, "
+                        "configs/config.py:177)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
+    if a.overrides:
+        from ekaid_tpu.config import merge_from_list
+        cfg = merge_from_list(cfg, a.overrides)
     train_over = {"graph": a.graph}
     if a.lr is not None:
         train_over["optim"] = cfg.train.optim.replace(lr=a.lr)

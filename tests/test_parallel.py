@@ -198,3 +198,70 @@ def test_sharded_extraction_matches_single_device():
     np.testing.assert_allclose(got["features"], want["features"],
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_array_equal(got["found"], want["found"])
+
+
+def test_grad_accumulation_matches_full_batch():
+    """train.accum_steps is a pure memory knob: in the deterministic
+    (train=False — several dropout rates are reference-parity
+    hard-coded) step, accum in {2, 4} must reproduce the accum=1 loss
+    and post-step params exactly: each microbatch term is normalized
+    by the FULL batch's mask sum / size, so terms sum to the batch
+    loss (train/step.py)."""
+    from functools import partial
+
+    import optax
+
+    from ekaid_tpu.train.step import init_state, train_step
+
+    cfg = tiny_config()
+    results = {}
+    for accum in (1, 2, 4):
+        model, batch, _, _ = build(cfg, batch_size=8)
+        # SGD, not Adam: post-step params are then LINEAR in the grads,
+        # so grad equality is tested directly (Adam's m/sqrt(v) flips
+        # sign on near-zero-grad params under f32 summation reorder)
+        tx = optax.sgd(0.1)
+        state = init_state(model, tx, batch, jax.random.PRNGKey(0))
+        step = jax.jit(partial(train_step, model, tx,
+                               cfg.train.att_reg_weight,
+                               accum_steps=accum, train=False))
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        results[accum] = (state, float(metrics["total_loss"]),
+                          float(metrics["grad_norm"]))
+    _, loss1, gn1 = results[1]
+    for accum in (2, 4):
+        state, loss, gn = results[accum]
+        np.testing.assert_allclose(loss, loss1, rtol=1e-6)
+        np.testing.assert_allclose(gn, gn1, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(results[1][0].params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accumulation_sharded_step_runs():
+    """accum under the data×model mesh: one step, finite loss (the
+    strided interleave keeps every microbatch sharded over 'data')."""
+    cfg = tiny_config()
+    model, batch, tx, state = build(cfg, batch_size=8)
+    mesh = make_mesh(data=4, model=2)
+    mk, _, state = make_jitted_steps(
+        model, tx, cfg.train.att_reg_weight, mesh, state, batch,
+        accum_steps=2)
+    state, metrics = mk(0.0)(state, shard_batch(mesh, batch),
+                             jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    from functools import partial
+
+    from ekaid_tpu.train.step import train_step
+
+    cfg = tiny_config()
+    model, batch, tx, state = build(cfg, batch_size=8)
+    with pytest.raises(ValueError, match="accum_steps"):
+        jax.jit(partial(train_step, model, tx, cfg.train.att_reg_weight,
+                        accum_steps=3))(state, batch,
+                                        jax.random.PRNGKey(1))
