@@ -55,6 +55,9 @@ def main():
     p.add_argument("--stages", action="store_true",
                    help="also time fwd-only and fwd+bwd sub-programs "
                         "and print their XLA flops/bytes rooflines")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches "
+                        "(train.accum_steps)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -104,7 +107,7 @@ def main():
 
     step = jax.jit(partial(train_step, model, tx,
                            cfg.train.att_reg_weight, ss_prob=0.0,
-                           param_cast=a.cast),
+                           param_cast=a.cast, accum_steps=a.accum),
                    donate_argnums=(0,))
 
     tflops = 0.0
@@ -145,6 +148,7 @@ def main():
         rec["mfu_pct"] = round(100.0 * tflops * 1e12 / per
                                / V5E_BF16_PEAK, 2)
     rec["remat"] = cfg.speaker.remat
+    rec["accum"] = a.accum
     print(json.dumps(rec))
 
     if a.stages:
