@@ -202,6 +202,10 @@ class TrainConfig:
     graph: str = "all"           # all | semantic | spatial | implicit | i+s
     setting: str = "mode2"
     att_reg_weight: float = 2.5e-3   # train_mimic.py:247
+    # module-attention entropy bonus (-w * EntropyLoss; the reference
+    # defines the criterion and a --entropy_weight flag but the term is
+    # commented out at train_mimic.py:244 — 0 reproduces that).
+    entropy_weight: float = 0.0
     # answer-length buckets (scan lengths) for the teacher-forcing
     # step; () = always full seq_length (reference behavior). See
     # data/pipeline.py::trim_batch_to_bucket.

@@ -135,17 +135,20 @@ def attention_regularizer(att_bef, att_aft, batch=None) -> jnp.ndarray:
             + jnp.sum(att_aft.astype(jnp.float32))) / (2.0 * b)
 
 
-def entropy_loss(module_weights, masks) -> jnp.ndarray:
+def entropy_loss(module_weights, masks, batch=None) -> jnp.ndarray:
     """Module-attention entropy term (EntropyLoss, utils/utils.py:218-232
     — defined in the reference, wired but commented out at
-    train_mimic.py:171,245; kept available with weight 0 by default).
+    train_mimic.py:171,245; activated here via train.entropy_weight,
+    default 0 = the reference's effective behavior).
 
-    module_weights: [B, T, 3] softmax weights; masks: [B, >=T]."""
+    module_weights: [B, T, 3] softmax weights; masks: [B, >=T].
+    batch: full-batch normalizer override (gradient accumulation)."""
     t = module_weights.shape[1]
     m = masks[:, :t].astype(jnp.float32)
     w = module_weights.astype(jnp.float32)
     b = w * jnp.log(jnp.maximum(w, 1e-12))
-    return -jnp.sum(b * m[..., None]) / module_weights.shape[0]
+    denom = module_weights.shape[0] if batch is None else batch
+    return -jnp.sum(b * m[..., None]) / denom
 
 
 def reward_loss(logprobs_taken, seq, reward) -> jnp.ndarray:
@@ -160,8 +163,13 @@ def reward_loss(logprobs_taken, seq, reward) -> jnp.ndarray:
 
 
 def total_loss(outputs, batch, att_reg_weight: float = 2.5e-3,
+               entropy_weight: float = 0.0,
                lang_denom=None, batch_denom=None):
     """train_mimic.py:242-247: NLL over labels[:, 1:] + attention term.
+
+    entropy_weight > 0 subtracts the module-attention entropy bonus
+    (the reference's commented-out `-entropy_weight * EntropyLoss`,
+    train_mimic.py:244; 0 = shipped behavior, term absent).
 
     lang_denom/batch_denom: full-batch normalizers for gradient
     accumulation (train/step.py) — with them, per-microbatch losses
@@ -170,5 +178,11 @@ def total_loss(outputs, batch, att_reg_weight: float = 2.5e-3,
                                batch["masks"][:, 1:], denom=lang_denom)
     att = attention_regularizer(outputs["att_bef"], outputs["att_aft"],
                                 batch=batch_denom)
-    return lang + att_reg_weight * att, {"speaker_loss": lang,
-                                         "att_reg": att}
+    loss = lang + att_reg_weight * att
+    aux = {"speaker_loss": lang, "att_reg": att}
+    if entropy_weight:
+        ent = entropy_loss(outputs["module_weights"],
+                           batch["masks"][:, 1:], batch=batch_denom)
+        loss = loss - entropy_weight * ent
+        aux["entropy"] = ent
+    return loss, aux

@@ -80,6 +80,7 @@ def train_step(model: EkaidModel, tx, att_reg_weight: float,
                ss_prob: float = 0.0,
                param_cast: bool = False,
                accum_steps: int = 1,
+               entropy_weight: float = 0.0,
                train: bool = True) -> Tuple[TrainState, Dict]:
     """One SGD step; pure function of (state, batch, rng).
 
@@ -109,6 +110,7 @@ def train_step(model: EkaidModel, tx, att_reg_weight: float,
         out = model.apply(params, mb, ss_prob=ss_prob, train=train,
                           rngs=rngs)
         loss, aux = total_loss(out, mb, att_reg_weight,
+                               entropy_weight=entropy_weight,
                                lang_denom=lang_denom,
                                batch_denom=batch_denom)
         return loss, aux
@@ -148,6 +150,8 @@ def train_step(model: EkaidModel, tx, att_reg_weight: float,
         zeros_like_f = lambda t: jax.tree.map(
             lambda x: jnp.zeros(x.shape, x.dtype), t)
         aux0 = {"speaker_loss": jnp.float32(0), "att_reg": jnp.float32(0)}
+        if entropy_weight:
+            aux0["entropy"] = jnp.float32(0)
         (loss, aux, grads), _ = jax.lax.scan(
             body,
             (jnp.float32(0), aux0, zeros_like_f(state.params)),
@@ -201,7 +205,7 @@ def shard_state(mesh: Mesh, state: TrainState) -> TrainState:
 def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
                       mesh: Mesh, state: TrainState, batch: Dict,
                       ss_prob: float = 0.0, param_cast: bool = False,
-                      accum_steps: int = 1):
+                      accum_steps: int = 1, entropy_weight: float = 0.0):
     """Compile sharded train/eval steps over `mesh`.
 
     Params/opt_state follow the TP rules in parallel.mesh (replicated
@@ -226,7 +230,8 @@ def make_jitted_steps(model: EkaidModel, tx, att_reg_weight: float,
             cache[key] = jax.jit(
                 partial(train_step, model, tx, att_reg_weight,
                         ss_prob=key, param_cast=param_cast,
-                        accum_steps=accum_steps),
+                        accum_steps=accum_steps,
+                        entropy_weight=entropy_weight),
                 in_shardings=(state_sh, b_sh, rep),
                 out_shardings=(state_sh, rep),
                 donate_argnums=(0,))      # donate `state`

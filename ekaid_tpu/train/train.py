@@ -99,7 +99,8 @@ class Trainer:
             self.model, self.tx, cfg.train.att_reg_weight, self.mesh,
             state, example,
             param_cast=getattr(cfg.dtypes, "train_param_cast", False),
-            accum_steps=cfg.train.accum_steps)
+            accum_steps=cfg.train.accum_steps,
+            entropy_weight=cfg.train.entropy_weight)
         self.jit_train = self.make_train(0.0)
         self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
         self.best = self.ckpt.best_metric()
@@ -308,6 +309,9 @@ def main(argv=None):
     p.add_argument("--feature_mode", default="both",
                    choices=["both", "location", "single_ana", "single_loc"])
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--entropy_weight", type=float, default=None,
+                   help="module-attention entropy bonus weight "
+                        "(train_mimic.py:35 parity; reference default 0)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--eval_target", default="test",
                    choices=["test", "val"])
@@ -333,6 +337,8 @@ def main(argv=None):
         from ekaid_tpu.config import merge_from_list
         cfg = merge_from_list(cfg, a.overrides)
     train_over = {"graph": a.graph}
+    if a.entropy_weight is not None:
+        train_over["entropy_weight"] = a.entropy_weight
     if a.lr is not None:
         train_over["optim"] = cfg.train.optim.replace(lr=a.lr)
     if a.seed is not None:

@@ -126,6 +126,26 @@ def test_total_loss_finite(setup):
     assert float(aux["att_reg"]) > 0
 
 
+def test_total_loss_entropy_term(setup):
+    """train.entropy_weight subtracts the module-attention entropy
+    bonus (the reference's commented -w * EntropyLoss,
+    train_mimic.py:244), checked against a per-element numpy oracle;
+    weight 0 must leave the loss and aux untouched."""
+    cfg, model, batch, params = setup
+    out = model.apply(params, batch, train=False)
+    base, aux0 = total_loss(out, batch, cfg.train.att_reg_weight)
+    assert "entropy" not in aux0
+    w = np.asarray(out["module_weights"], np.float64)          # [B,T,3]
+    m = np.asarray(batch["masks"], np.float64)[:, 1:w.shape[1] + 1]
+    ent = -(w * np.log(np.maximum(w, 1e-12))
+            * m[..., None]).sum() / w.shape[0]
+    loss, aux = total_loss(out, batch, cfg.train.att_reg_weight,
+                           entropy_weight=0.3)
+    np.testing.assert_allclose(float(aux["entropy"]), ent, rtol=1e-5)
+    np.testing.assert_allclose(float(loss), float(base) - 0.3 * ent,
+                               rtol=1e-5)
+
+
 def test_gradients_flow(setup):
     cfg, model, batch, params = setup
 
