@@ -12,12 +12,35 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint() -> str:
+    """Hash of the host CPU's feature flags. XLA:CPU AOT artifacts are
+    keyed by program, NOT by the compiling machine's features — loading
+    one on a host missing an ISA feature can SIGILL (observed: a cached
+    entry warned 'prefer-no-gather is not supported on the host
+    machine'). Scoping the cache dir per host fingerprint makes a
+    moved/rescheduled container recompile instead of risking it."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _platform
+    return _platform.machine() or "unknown"
+
+
 def enable_compile_cache(path: str = "/tmp/ekaid_jaxcache") -> None:
     """Persistent XLA compile cache. The axon remote-compile service
     takes minutes on the full decode program; caching makes repeat
-    bench/serving launches pay it once per program, not per process."""
+    bench/serving launches pay it once per program, not per process.
+    The directory is scoped by a host-CPU fingerprint (see
+    _host_fingerprint) so CPU AOT artifacts never cross machines."""
     import jax
 
+    path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
 
