@@ -430,7 +430,14 @@ class Loader:
             num_threads = min(4, os.cpu_count() or 1)
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
+        # epoch feeds the shuffle RNG (seed + epoch) and is advanced by
+        # each __iter__; a resuming trainer sets it to the restored
+        # epoch so the permutation matches the original run's.
         self.epoch = 0
+        # one-shot batch fast-forward for exact mid-epoch resume: the
+        # next __iter__ drops this many leading batches BEFORE workers
+        # start (no assembly cost for the skipped ones), then resets.
+        self.skip_next = 0
         assert 0 <= shard_index < num_shards
         self.shard_index = shard_index
         self.num_shards = num_shards
@@ -486,6 +493,9 @@ class Loader:
         import copy
 
         batches = self._batch_indices()
+        if self.skip_next:
+            batches = batches[self.skip_next:]
+            self.skip_next = 0
         n_workers = max(1, min(self.num_threads, len(batches) or 1))
         qs = [queue.Queue(maxsize=max(1, self.prefetch))
               for _ in range(n_workers)]

@@ -144,6 +144,14 @@ class Trainer:
                         # slice of the (identically shuffled) epoch
                         shard_index=_jax.process_index(),
                         num_shards=_jax.process_count())
+        # exact mid-epoch resume (t restored from the checkpoint):
+        # align the loader's shuffle permutation with the restored
+        # epoch and fast-forward past the already-consumed batches, so
+        # the data order continues exactly where the run stopped
+        # (the reference restarts the epoch, train_mimic.py:208)
+        loader.epoch = epoch
+        if t % self.steps_per_epoch:
+            loader.skip_next = t % self.steps_per_epoch
 
         def device_batches():
             """One-ahead device prefetch: device_put is async, so the

@@ -469,3 +469,31 @@ def test_f16_feature_store_roundtrip_and_forward(tmp_path):
     out = model.apply(params, jb, train=False)
     loss, _ = total_loss(out, jb, cfg.train.att_reg_weight)
     assert np.isfinite(float(loss))
+
+
+def test_loader_mid_epoch_resume_order():
+    """Exact mid-epoch resume: setting loader.epoch + skip_next must
+    reproduce the original run's remaining batch order (permutation
+    aligned via seed+epoch, leading batches dropped pre-assembly), and
+    the following epoch must match the original run's next epoch."""
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=40)
+    base = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    e0 = [b["pair_index"] for b in base]     # epoch 0
+    e1 = [b["pair_index"] for b in base]     # epoch 1
+
+    resumed = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    resumed.epoch = 1                        # restored from checkpoint
+    resumed.skip_next = 3                    # 3 batches already consumed
+    tail = [b["pair_index"] for b in resumed]
+    assert len(tail) == len(e1) - 3
+    for got, want in zip(tail, e1[3:]):
+        np.testing.assert_array_equal(got, want)
+    # skip_next is one-shot: the next epoch is full length and matches
+    # a fresh loader's epoch 2
+    e2 = [b["pair_index"] for b in resumed]
+    assert len(e2) == len(e0)
+    probe = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    probe.epoch = 2
+    for got, want in zip(e2, [b["pair_index"] for b in probe]):
+        np.testing.assert_array_equal(got, want)
