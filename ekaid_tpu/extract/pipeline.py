@@ -187,10 +187,43 @@ class H5Writer:
     f16 rows to the device untouched."""
 
     def __init__(self, path: str, num_nodes: int, feat_dim: int,
-                 adj_pad: int = 100, feat_dtype: str = "float32"):
+                 adj_pad: int = 100, feat_dtype: str = "float32",
+                 mode: str = "w"):
+        """mode='a' resumes an interrupted extraction: existing rows are
+        kept (self.n continues from them) after a consistency repair —
+        a crash mid-append can leave the five datasets at unequal
+        lengths, so all are truncated to the shortest. Geometry or
+        dtype mismatches raise instead of silently mixing runs."""
         import h5py
         assert feat_dtype in ("float32", "float16")
+        assert mode in ("w", "a")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        shapes = {
+            "image_features": ((num_nodes, feat_dim), feat_dtype),
+            "image_bb": ((num_nodes, 4), "float32"),
+            "image_adj_matrix": ((adj_pad, adj_pad), "int64"),
+            "semantic_adj_matrix": ((adj_pad, adj_pad), "int64"),
+            "bbox_label": ((num_nodes,), "int64"),
+        }
+        if mode == "a" and os.path.exists(path):
+            self._h5 = h5py.File(path, "r+")
+            self.sets = {}
+            for name, (shape, dtype) in shapes.items():
+                if name not in self._h5:
+                    raise ValueError(f"resume target {path} lacks "
+                                     f"dataset {name!r}")
+                ds = self._h5[name]
+                if ds.shape[1:] != shape or ds.dtype != np.dtype(dtype):
+                    raise ValueError(
+                        f"resume geometry mismatch for {name!r}: file "
+                        f"{ds.shape[1:]}/{ds.dtype} vs run "
+                        f"{shape}/{dtype}")
+                self.sets[name] = ds
+            self.n = min(ds.shape[0] for ds in self.sets.values())
+            for ds in self.sets.values():    # repair a mid-append crash
+                if ds.shape[0] != self.n:
+                    ds.resize(self.n, axis=0)
+            return
         self._h5 = h5py.File(path, "w")
         self.n = 0
 
@@ -199,16 +232,8 @@ class H5Writer:
                 name, (0, *shape), maxshape=(None, *shape),
                 chunks=(64, *shape), dtype=dtype)
 
-        self.sets = {
-            "image_features": dset("image_features",
-                                   (num_nodes, feat_dim), feat_dtype),
-            "image_bb": dset("image_bb", (num_nodes, 4), "float32"),
-            "image_adj_matrix": dset("image_adj_matrix",
-                                     (adj_pad, adj_pad), "int64"),
-            "semantic_adj_matrix": dset("semantic_adj_matrix",
-                                        (adj_pad, adj_pad), "int64"),
-            "bbox_label": dset("bbox_label", (num_nodes,), "int64"),
-        }
+        self.sets = {name: dset(name, shape, dtype)
+                     for name, (shape, dtype) in shapes.items()}
 
     def append(self, records: Sequence[Dict[str, np.ndarray]]):
         m = len(records)
@@ -216,6 +241,7 @@ class H5Writer:
             ds.resize(self.n + m, axis=0)
             ds[self.n:self.n + m] = np.stack([r[name] for r in records])
         self.n += m
+        self._h5.flush()    # bound data loss to one batch on a crash
 
     def close(self):
         self._h5.close()

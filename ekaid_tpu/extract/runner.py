@@ -135,8 +135,8 @@ def build_detector_fns(cfg: Config,
 
 
 def png_batches(image_dir: str, image_size: int, batch_size: int,
-                workers: Optional[int] = None, prefetch: int = 4
-                ) -> Iterator[np.ndarray]:
+                workers: Optional[int] = None, prefetch: int = 4,
+                skip: int = 0) -> Iterator[np.ndarray]:
     """Host image loader: PNG/JPG files → [B, S, S, 3] uint8 batches.
     (converter.py:71 resizes MIMIC to 1024² PNG upstream.)
 
@@ -152,6 +152,10 @@ def png_batches(image_dir: str, image_size: int, batch_size: int,
     from PIL import Image
     files = sorted(f for f in os.listdir(image_dir)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if skip:
+        # resume: rows already in the output HDF5 correspond 1:1 to the
+        # leading files in this sorted order
+        files = files[skip:]
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
 
@@ -200,12 +204,14 @@ def png_batches(image_dir: str, image_size: int, batch_size: int,
         yield np.stack(batch)
 
 
-def synthetic_batches(n: int, image_size: int, batch_size: int
-                      ) -> Iterator[np.ndarray]:
+def synthetic_batches(n: int, image_size: int, batch_size: int,
+                      skip: int = 0) -> Iterator[np.ndarray]:
     rng = np.random.default_rng(0)
-    for _ in range(n // batch_size):
-        yield rng.standard_normal(
+    for i in range(n // batch_size):
+        batch = rng.standard_normal(
             (batch_size, image_size, image_size, 3)).astype(np.float32)
+        if i * batch_size >= skip:    # resume: same stream, same images
+            yield batch
 
 
 def main(argv=None):
@@ -242,6 +248,11 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel extraction over N devices "
                         "(0 = single device)")
+    p.add_argument("--resume", action="store_true",
+                   help="append to an existing --out: keeps its rows "
+                        "(after truncating a mid-append crash to the "
+                        "shortest dataset) and skips the corresponding "
+                        "leading images")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()
@@ -286,15 +297,19 @@ def main(argv=None):
     ex = Extractor(ana_apply, dis_apply, det.num_disease_classes)
     writer = H5Writer(a.out, num_nodes=2 * det.num_anatomy_classes,
                       feat_dim=det.roi_feat_dim,
-                      feat_dtype=a.store_dtype)
+                      feat_dtype=a.store_dtype,
+                      mode="a" if a.resume else "w")
+    done = writer.n
+    if done:
+        print(f"resuming: {done} images already in {a.out}")
     if a.synthetic:
         batches = synthetic_batches(a.synthetic, det.image_size,
-                                    det.extract_batch_size)
+                                    det.extract_batch_size, skip=done)
     else:
         assert a.image_dir, "--image_dir or --synthetic required"
         batches = png_batches(a.image_dir, det.image_size,
                               det.extract_batch_size,
-                              workers=a.io_workers)
+                              workers=a.io_workers, skip=done)
     ex.run(batches, writer)
     print(f"wrote {a.out}")
 

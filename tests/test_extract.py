@@ -104,6 +104,62 @@ def test_h5_writer_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["adj"], rec["image_adj_matrix"])
 
 
+def test_h5_writer_resume_appends(tmp_path):
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12)
+    w.append([rec, rec])
+    w.close()
+    # resume: existing rows kept, n continues from them
+    w2 = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12, mode="a")
+    assert w2.n == 2
+    w2.append([rec])
+    w2.close()
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert f["image_features"].shape[0] == 3
+        np.testing.assert_allclose(f["image_features"][2],
+                                   rec["image_features"], rtol=1e-6)
+
+
+def test_h5_writer_resume_repairs_crash(tmp_path):
+    """A crash mid-append leaves datasets at unequal lengths; resume
+    truncates all to the shortest consistent prefix."""
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12)
+    w.append([rec, rec, rec])
+    # simulate the torn write: one dataset grew past the others
+    w.sets["image_bb"].resize(5, axis=0)
+    w.close()
+    w2 = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12, mode="a")
+    assert w2.n == 3
+    w2.close()
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert all(f[k].shape[0] == 3 for k in f.keys())
+
+
+def test_h5_writer_resume_rejects_mismatch(tmp_path):
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12)
+    w.append([rec])
+    w.close()
+    import pytest
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        H5Writer(path, num_nodes=16, feat_dim=8, adj_pad=12, mode="a")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12, mode="a",
+                 feat_dtype="float16")
+
+
 def test_average_precision_perfect():
     ap = average_precision([0.9, 0.8], [True, True], num_gt=2)
     assert abs(ap - 1.0) < 1e-6
