@@ -252,7 +252,10 @@ def main(argv=None):
                    help="append to an existing --out: keeps its rows "
                         "(after truncating a mid-append crash to the "
                         "shortest dataset) and skips the corresponding "
-                        "leading images")
+                        "leading images (the reference's crash recovery "
+                        "is a HAND-ENTERED stopped_batch_num, "
+                        "ana_bbox_generator.py:549-562; here the "
+                        "restart point is read from the file)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.cfg) if a.cfg else default_config()

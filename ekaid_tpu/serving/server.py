@@ -48,30 +48,38 @@ class InferenceEngine:
     """Holds the jitted batch-1 decode and the eval dataset."""
 
     def __init__(self, trainer, seed: int = 0,
-                 image_dir: Optional[str] = None):
+                 image_dir: Optional[str] = None, artifact=None):
         self.trainer = trainer
         self.vocab = trainer.vocab
         self.ds = trainer.eval_ds
         self.rng = random.Random(seed)
         self.index = int(self.ds.split_idxs[0])
         self.image_dir = image_dir
+        self.artifact = artifact
 
-        model = trainer.model
-        # serving is inference-only: bf16 weight copy (see
-        # utils/dtypes.cast_params_for_inference)
-        from ekaid_tpu.utils.dtypes import (Policy,
-                                            cast_params_for_inference)
-        trainer.state = trainer.state.replace(
-            params=cast_params_for_inference(
-                trainer.state.params,
-                Policy.from_config(trainer.cfg.dtypes)))
+        if artifact is not None:
+            # zero-compile startup: pre-compiled executable + the
+            # inference-cast params it was exported with
+            # (serving/artifact.py)
+            trainer.state = trainer.state.replace(params=artifact.params)
+            self._decode = artifact.fn_for_batch(1)
+        else:
+            model = trainer.model
+            # serving is inference-only: bf16 weight copy (see
+            # utils/dtypes.cast_params_for_inference)
+            from ekaid_tpu.utils.dtypes import (Policy,
+                                                cast_params_for_inference)
+            trainer.state = trainer.state.replace(
+                params=cast_params_for_inference(
+                    trainer.state.params,
+                    Policy.from_config(trainer.cfg.dtypes)))
 
-        @jax.jit
-        def decode1(params, batch):
-            return model.apply(params, batch, method="decode",
-                               sample_max=True)
+            @jax.jit
+            def decode1(params, batch):
+                return model.apply(params, batch, method="decode",
+                                   sample_max=True)
 
-        self._decode = decode1
+            self._decode = decode1
         # warm the compile with the first sample — explicitly the base
         # path: a subclass override (CoalescingEngine) is not wired up
         # until after this constructor returns
@@ -171,32 +179,72 @@ class CoalescingEngine(InferenceEngine):
     their low latency) and one fixed `coalesce_batch` bucket (queue
     depth >= 2 pads up to it — static shapes, no recompiles).
     `stats` counts requests/batches/coalesced for load tests.
+
+    `replicas=N` scales out over N local chips: params are copied to
+    each device once, and a pool of N device-bound slots executes
+    folded batches concurrently (one in-flight program per device —
+    the single-flight rule is per chip). The folding thread keeps
+    running while devices execute, so host-side batch assembly
+    pipelines under device time even at N=1. The reference has no
+    analog (single GPU, single client, demo_server.py).
     """
 
     def __init__(self, trainer, seed: int = 0,
                  image_dir: Optional[str] = None,
-                 coalesce_batch: int = 16, linger_ms: float = 2.0):
+                 coalesce_batch: int = 16, linger_ms: float = 2.0,
+                 artifact=None, replicas: int = 1):
         import queue
         import threading
-        super().__init__(trainer, seed=seed, image_dir=image_dir)
+        from concurrent.futures import ThreadPoolExecutor
+        super().__init__(trainer, seed=seed, image_dir=image_dir,
+                         artifact=artifact)
         self.coalesce_batch = int(coalesce_batch)
         self.linger_s = float(linger_ms) / 1e3
-        model = trainer.model
+        devices = jax.devices()
+        if replicas > len(devices):
+            raise ValueError(f"replicas={replicas} but only "
+                             f"{len(devices)} devices are visible")
+        self.devices = devices[:max(1, int(replicas))]
+        if artifact is not None:
+            self._decode_n = artifact.fn_for_batch(self.coalesce_batch)
+            if len(self.devices) > 1:
+                raise ValueError(
+                    "replicas>1 with --artifact is not supported yet: "
+                    "the artifact executable is loaded onto one device")
+        else:
+            model = trainer.model
 
-        @jax.jit
-        def decode_n(params, batch):
-            return model.apply(params, batch, method="decode",
-                               sample_max=True)
+            @jax.jit
+            def decode_n(params, batch):
+                return model.apply(params, batch, method="decode",
+                                   sample_max=True)
 
-        self._decode_n = decode_n
-        # warm/compile the bucket once at startup (cached across runs
-        # by the persistent compile cache)
+            self._decode_n = decode_n
+        # per-device param copies (serving params are immutable); warm
+        # each device's bucket program once at startup (cached across
+        # runs by the persistent compile cache)
+        self._params_dev = {d: jax.device_put(self.trainer.state.params,
+                                              d)
+                            for d in self.devices}
         warm = self._stack([(self.index, None)] * self.coalesce_batch)
-        np.asarray(self._decode_n(self.trainer.state.params,
-                                  warm)["seq"])
+        warm1 = self._batch_for(self.index, None)
+        for d in self.devices:
+            np.asarray(self._decode_n(
+                self._params_dev[d], jax.device_put(warm, d))["seq"])
+            # also warm the batch-1 fast path per device — a lazy
+            # first-request compile would stall a solo client for the
+            # full program-compile time
+            np.asarray(self._decode(
+                self._params_dev[d], jax.device_put(warm1, d))["seq"])
         self.stats = {"requests": 0, "batches": 0, "coalesced": 0,
-                      "max_batch": 0}
+                      "max_batch": 0,
+                      "per_device": {str(d): 0 for d in self.devices}}
         self._q: "queue.Queue" = queue.Queue()
+        self._free: "queue.Queue" = queue.Queue()
+        for d in self.devices:
+            self._free.put(d)
+        self._pool = ThreadPoolExecutor(max_workers=len(self.devices),
+                                        thread_name_prefix="ekaid-exec")
         self._thread = threading.Thread(target=self._dispatch,
                                         daemon=True)
         self._thread.start()
@@ -218,6 +266,9 @@ class CoalescingEngine(InferenceEngine):
                 for k in rows[0]}
 
     def _dispatch(self):
+        """Folding loop: collect up to coalesce_batch requests (linger
+        for stragglers), assemble the host batch, then hand execution
+        to a free device slot — folding continues while devices run."""
         import queue
         while True:
             first = self._q.get()
@@ -237,27 +288,44 @@ class CoalescingEngine(InferenceEngine):
             self.stats["max_batch"] = max(self.stats["max_batch"],
                                           len(items))
             try:
-                params = self.trainer.state.params
                 if len(items) == 1:
                     idx, qids, _, _ = items[0]
-                    out = self._decode(params, self._batch_for(idx, qids))
+                    batch = self._batch_for(idx, qids)
                 else:
                     batch = self._stack([(i, q) for i, q, _, _ in items])
-                    out = self._decode_n(params, batch)
+            except Exception as e:          # report, don't kill serving
+                for *_, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self._pool.submit(self._execute, items, batch)
+
+    def _execute(self, items, batch):
+        try:
+            device = self._free.get()       # one in-flight run per chip
+            try:
+                self.stats["per_device"][str(device)] += 1
+                params = self._params_dev[device]
+                if len(self.devices) > 1:
+                    batch = jax.device_put(batch, device)
+                fn = self._decode if len(items) == 1 else self._decode_n
+                out = fn(params, batch)
                 seqs = np.asarray(out["seq"])
                 # module weights cross device->host only when some
                 # request in this batch asked for detail (the web
                 # client); the hot no-detail path skips the fetch
                 mws = (np.asarray(out["module_weights"])
                        if any(d for _, _, d, _ in items) else None)
-                for k, (idx, qids, _, fut) in enumerate(items):
-                    fut.set_result((seqs[k],
-                                    mws[k] if mws is not None else None,
-                                    idx, qids))
-            except Exception as e:          # report, don't kill serving
-                for *_, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+            finally:
+                self._free.put(device)
+            for k, (idx, qids, _, fut) in enumerate(items):
+                fut.set_result((seqs[k],
+                                mws[k] if mws is not None else None,
+                                idx, qids))
+        except Exception as e:              # report, don't kill serving
+            for *_, fut in items:
+                if not fut.done():
+                    fut.set_exception(e)
 
     def answer(self, question_text: Optional[str],
                index: Optional[int] = None,
@@ -377,6 +445,18 @@ def main(argv=None):
                         "(0 disables coalescing: plain batch-1 engine)")
     p.add_argument("--linger_ms", type=float, default=2.0,
                    help="dispatcher wait for straggler requests")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="serve from N local chips: per-device param "
+                        "copies + N concurrent device slots (requires "
+                        "coalescing; one in-flight program per chip)")
+    p.add_argument("--export_artifact", default=None, metavar="DIR",
+                   help="compile the decode at batch 1 (+ the coalesce "
+                        "bucket) and save a pre-compiled serving "
+                        "artifact to DIR, then exit (serving/artifact.py)")
+    p.add_argument("--artifact", default=None, metavar="DIR",
+                   help="serve from a pre-compiled artifact: zero "
+                        "compiles at startup; params come from the "
+                        "artifact (overrides --checkpoint_dir)")
     a = p.parse_args(argv)
 
     from ekaid_tpu.train.train import (build_synthetic_trainer,
@@ -394,12 +474,42 @@ def main(argv=None):
                                     name=a.checkpoint)
         print(f"loaded checkpoint step {int(trainer.state.step)}")
 
+    if a.export_artifact:
+        from ekaid_tpu.serving.artifact import save_artifact
+        from ekaid_tpu.utils.dtypes import (Policy,
+                                            cast_params_for_inference)
+        params = cast_params_for_inference(
+            trainer.state.params, Policy.from_config(cfg.dtypes))
+        sample = {k: v for k, v in
+                  trainer.eval_ds.sample(
+                      int(trainer.eval_ds.split_idxs[0])).items()
+                  if k != "pair_index"}
+        sizes = ((1, a.coalesce_batch) if a.coalesce_batch > 0 else (1,))
+        save_artifact(a.export_artifact, trainer.model, params, sample,
+                      batch_sizes=sizes)
+        print(f"exported artifact to {a.export_artifact} "
+              f"(batch sizes {sorted(set(sizes))})")
+        return
+
+    artifact = None
+    if a.artifact:
+        from ekaid_tpu.serving.artifact import load_artifact
+        artifact = load_artifact(a.artifact)
+        print(f"loaded artifact from {a.artifact} "
+              f"(platform {artifact.meta['platform']}, "
+              f"batch sizes {artifact.meta['batch_sizes']})")
+
     if a.coalesce_batch > 0:
         engine: InferenceEngine = CoalescingEngine(
             trainer, image_dir=a.image_dir,
-            coalesce_batch=a.coalesce_batch, linger_ms=a.linger_ms)
+            coalesce_batch=a.coalesce_batch, linger_ms=a.linger_ms,
+            artifact=artifact, replicas=a.replicas)
     else:
-        engine = InferenceEngine(trainer, image_dir=a.image_dir)
+        if a.replicas > 1:
+            raise SystemExit("--replicas requires coalescing "
+                             "(--coalesce_batch > 0)")
+        engine = InferenceEngine(trainer, image_dir=a.image_dir,
+                                 artifact=artifact)
     server = ThreadingHTTPServer((a.host, a.port), make_handler(engine))
     print(f"serving on http://{a.host}:{a.port}")
     server.serve_forever()

@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--per_client", type=int, default=8)
     ap.add_argument("--coalesce", type=int, default=16)
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="also load-test N device replicas (>1)")
     ap.add_argument("--small", action="store_true",
                     help="shrunken config (CPU smoke)")
     a = ap.parse_args()
@@ -117,6 +119,11 @@ def main():
         modes.append((f"coalesce_{a.coalesce}",
                       lambda: CoalescingEngine(trainer,
                                                coalesce_batch=a.coalesce)))
+    if a.replicas > 1:                # multi-chip scale-out (or the
+        modes.append((                # 8-virtual-device CPU test env)
+            f"coalesce_{a.coalesce}_x{a.replicas}",
+            lambda: CoalescingEngine(trainer, coalesce_batch=a.coalesce,
+                                     replicas=a.replicas)))
     for mode, make in modes:
         engine = make()
         server = ThreadingHTTPServer(("127.0.0.1", 0),

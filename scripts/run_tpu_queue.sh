@@ -76,6 +76,9 @@ run decode_pallas 3600 python scripts/bench_decode_sweep.py --kernel pallas --ba
 # 5. concurrent serving load (VERDICT #8 done-bar: >5x single-flight
 #    at bounded p99 with 16 clients)
 run serving_load  3600 python scripts/bench_serving_load.py --clients 16
+# 5b. serving-artifact startup: live compile (cache off) vs
+#     pre-compiled executable load (serving/artifact.py)
+run artifact      3600 python scripts/bench_artifact.py
 # 6. headline
 run bench         2400 python bench.py
 

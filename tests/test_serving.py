@@ -101,6 +101,65 @@ def test_http_round_trip(engine):
 
 
 @pytest.fixture(scope="module")
+def artifact_dir(engine, tmp_path_factory):
+    """Export a pre-compiled serving artifact from the engine's
+    (already inference-cast) trainer."""
+    from ekaid_tpu.serving.artifact import save_artifact
+    path = str(tmp_path_factory.mktemp("artifact"))
+    trainer = engine.trainer
+    sample = {k: v for k, v in
+              trainer.eval_ds.sample(
+                  int(trainer.eval_ds.split_idxs[0])).items()
+              if k != "pair_index"}
+    save_artifact(path, trainer.model, trainer.state.params, sample,
+                  batch_sizes=(1, 8))
+    return path
+
+
+def test_artifact_engine_matches_live(artifact_dir, engine):
+    """Serving from the pre-compiled artifact must answer exactly like
+    the live-compiled engine (same params, same program)."""
+    from ekaid_tpu.serving.artifact import load_artifact
+    art = load_artifact(artifact_dir)
+    assert art.meta["batch_sizes"] == [1, 8]
+    eng2 = InferenceEngine(engine.trainer, artifact=art)
+    idx = int(engine.ds.split_idxs[0])
+    a = engine.answer("w5 what", index=idx)
+    b = eng2.answer("w5 what", index=idx)
+    assert a["answer"] == b["answer"]
+    # coalescing path rides the artifact's bucket executable
+    from ekaid_tpu.serving.server import CoalescingEngine
+    eng3 = CoalescingEngine(engine.trainer, coalesce_batch=8,
+                            linger_ms=1.0, artifact=art)
+    c = eng3.answer("w5 what", index=idx)
+    assert c["answer"] == a["answer"]
+
+
+def test_artifact_missing_batch_size_raises(artifact_dir):
+    from ekaid_tpu.serving.artifact import load_artifact
+    art = load_artifact(artifact_dir)
+    with pytest.raises(ValueError, match="batch-16"):
+        art.fn_for_batch(16)
+
+
+def test_artifact_platform_mismatch_raises(artifact_dir, tmp_path):
+    import json as _json
+    import os
+    import shutil
+    bad = str(tmp_path / "bad_art")
+    shutil.copytree(artifact_dir, bad)
+    meta_path = os.path.join(bad, "meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta["platform"] = "not_a_platform"
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    from ekaid_tpu.serving.artifact import load_artifact
+    with pytest.raises(RuntimeError, match="platform-pinned"):
+        load_artifact(bad)
+
+
+@pytest.fixture(scope="module")
 def coalescing_engine(engine):
     from ekaid_tpu.serving.server import CoalescingEngine
     return CoalescingEngine(engine.trainer, coalesce_batch=8,
@@ -124,6 +183,35 @@ def test_coalescing_matches_batch1(coalescing_engine, engine):
     a = engine.answer("w5 what", index=idx)
     b = coalescing_engine.answer("w5 what", index=idx)
     assert a["answer"] == b["answer"]
+
+
+def test_replicated_engine_uses_all_devices(engine):
+    """replicas=2 on the 8-virtual-device test env: concurrent
+    requests must all answer correctly AND both device slots must
+    execute batches. Answers must match the batch-1 engine's."""
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+    from ekaid_tpu.serving.server import CoalescingEngine
+    assert len(jax.devices()) >= 2
+    eng = CoalescingEngine(engine.trainer, coalesce_batch=4,
+                           linger_ms=1.0, replicas=2)
+    avail = [int(i) for i in list(eng.ds.split_idxs)[:4]]
+    expected = {i: engine.answer("what has changed", index=i)["answer"]
+                for i in avail}
+    idxs = [avail[k % len(avail)] for k in range(24)]
+    with ThreadPoolExecutor(max_workers=24) as ex:
+        outs = list(ex.map(
+            lambda i: eng.answer("what has changed", index=i), idxs))
+    assert all(o["answer"] == expected[i] for i, o in zip(idxs, outs))
+    used = {k: v for k, v in eng.stats["per_device"].items() if v > 0}
+    assert len(used) == 2, f"expected both devices used: {eng.stats}"
+
+
+def test_replicas_bounds_checked(engine):
+    import pytest as _pytest
+    from ekaid_tpu.serving.server import CoalescingEngine
+    with _pytest.raises(ValueError, match="devices are visible"):
+        CoalescingEngine(engine.trainer, coalesce_batch=4, replicas=99)
 
 
 def test_coalescing_concurrent_clients(coalescing_engine):
