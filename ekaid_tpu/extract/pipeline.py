@@ -264,12 +264,20 @@ class Extractor:
         self.organ, self.cooccur, self.is_dis = K.semantic_tables(
             counting_adj=counting_adj)
 
-    def process_batch(self, images: np.ndarray
-                      ) -> List[Dict[str, np.ndarray]]:
-        ana = {k: np.asarray(v) for k, v in self.ana_apply(images).items()}
-        dis = {k: np.asarray(v) for k, v in self.dis_apply(images).items()}
+    def dispatch(self, images: np.ndarray):
+        """Enqueue both detector programs (JAX dispatch is async — this
+        returns before the device finishes; `finish` fetches)."""
+        return self.ana_apply(images), self.dis_apply(images)
+
+    def finish(self, dispatched) -> List[Dict[str, np.ndarray]]:
+        """Fetch a `dispatch` result and do the host-side per-image
+        graph assembly (match + combine)."""
+        ana_d, dis_d = dispatched
+        ana = {k: np.asarray(v) for k, v in ana_d.items()}
+        dis = {k: np.asarray(v) for k, v in dis_d.items()}
         out = []
-        for b in range(images.shape[0]):
+        n = next(iter(ana.values())).shape[0]
+        for b in range(n):
             ana_rec = {k: v[b] for k, v in ana.items()}
             # disease: top-26 detections re-anchored onto anatomy boxes
             # (bbox_generator_by_location.py:653-703)
@@ -282,16 +290,41 @@ class Extractor:
                                     self.cooccur, self.is_dis))
         return out
 
+    def process_batch(self, images: np.ndarray
+                      ) -> List[Dict[str, np.ndarray]]:
+        return self.finish(self.dispatch(images))
+
     def run(self, image_batches: Iterable[np.ndarray], writer: H5Writer,
             log_every: int = 50):
+        """One-deep software pipeline: batch i+1's device programs are
+        enqueued BEFORE batch i's results are fetched, so the host-side
+        graph assembly + HDF5 write overlap device compute (and, on
+        axon, the relay roundtrip). Results are identical to the serial
+        loop — only the dispatch order changes."""
         import time
         n_img = 0
         warm_imgs = 0
         t0 = time.time()
         t_warm = None
-        for i, images in enumerate(image_batches):
-            writer.append(self.process_batch(images))
-            n_img += images.shape[0]
+        pending = None                 # (dispatched, batch_size)
+        i = -1
+        for images in image_batches:
+            nxt = (self.dispatch(images), images.shape[0])
+            if pending is not None:
+                writer.append(self.finish(pending[0]))
+                n_img += pending[1]
+                i += 1
+                if i == 0:
+                    t_warm = time.time()  # first batch pays the compile
+                    warm_imgs = n_img
+                if (i + 1) % log_every == 0:
+                    rate = n_img / (time.time() - t0)
+                    print(f"extracted {n_img} images ({rate:.2f} img/s)")
+            pending = nxt
+        if pending is not None:
+            writer.append(self.finish(pending[0]))
+            n_img += pending[1]
+            i += 1
             if i == 0:
                 t_warm = time.time()       # first batch pays the compile
                 warm_imgs = n_img

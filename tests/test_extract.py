@@ -104,6 +104,67 @@ def test_h5_writer_roundtrip(tmp_path):
     np.testing.assert_array_equal(got["adj"], rec["image_adj_matrix"])
 
 
+def _fake_applies(n_ana=4, feat=8, R=6):
+    """Deterministic stand-in detector fns honoring the Extractor
+    contract (batch-leading dicts), varying with the input images."""
+    ana0, _ = make_extraction(n_ana, feat)
+    rng = np.random.default_rng(7)
+    dboxes = np.abs(rng.standard_normal((R, 4))).astype(np.float32) * 100
+    dboxes[:, 2:] += dboxes[:, :2] + 10
+    dfeat = rng.standard_normal((R, feat)).astype(np.float32)
+    dcls = rng.integers(0, 22, R)
+
+    def per_sample_scale(images):
+        return 1.0 + images.reshape(images.shape[0], -1)[:, :1] * 0.01
+
+    def ana_apply(images):
+        s = per_sample_scale(images)                       # [B, 1]
+        B = images.shape[0]
+        return {
+            "features": ana0["features"][None] * s[:, :, None],
+            "boxes": np.tile(ana0["boxes"], (B, 1, 1)),
+            "classes": np.tile(ana0["classes"], (B, 1)),
+            "found": np.tile(ana0["found"], (B, 1)),
+        }
+
+    def dis_apply(images):
+        s = per_sample_scale(images)
+        B = images.shape[0]
+        return {
+            "boxes": np.tile(dboxes, (B, 1, 1)),
+            "features": dfeat[None] * s[:, :, None],
+            "classes": np.tile(dcls, (B, 1)),
+            "valid": np.ones((B, dcls.shape[0]), bool),
+        }
+
+    return ana_apply, dis_apply
+
+
+def test_extractor_pipelined_run_matches_serial(tmp_path):
+    """run()'s one-deep dispatch pipeline must produce bit-identical
+    output to the serial process_batch loop."""
+    from ekaid_tpu.extract.pipeline import Extractor
+    import h5py
+    ana_apply, dis_apply = _fake_applies()
+    batches = [np.full((2, 4, 4, 3), i, np.float32) for i in range(3)]
+
+    ex = Extractor(ana_apply, dis_apply, num_disease_classes=22)
+    p1 = str(tmp_path / "pipelined.hdf5")
+    w1 = H5Writer(p1, num_nodes=8, feat_dim=8, adj_pad=100)
+    n = ex.run(iter(batches), w1, log_every=2)
+    assert n == 6
+
+    p2 = str(tmp_path / "serial.hdf5")
+    w2 = H5Writer(p2, num_nodes=8, feat_dim=8, adj_pad=100)
+    for b in batches:
+        w2.append(ex.process_batch(b))
+    w2.close()
+
+    with h5py.File(p1) as f1, h5py.File(p2) as f2:
+        for k in f1.keys():
+            np.testing.assert_array_equal(f1[k][:], f2[k][:])
+
+
 def test_h5_writer_resume_appends(tmp_path):
     ana, dis = make_extraction()
     organ, co, isd = K.semantic_tables()
