@@ -136,7 +136,8 @@ def build_detector_fns(cfg: Config,
 
 def png_batches(image_dir: str, image_size: int, batch_size: int,
                 workers: Optional[int] = None, prefetch: int = 4,
-                skip: int = 0) -> Iterator[np.ndarray]:
+                skip: int = 0,
+                shard: Optional[tuple] = None) -> Iterator[np.ndarray]:
     """Host image loader: PNG/JPG files → [B, S, S, 3] uint8 batches.
     (converter.py:71 resizes MIMIC to 1024² PNG upstream.)
 
@@ -152,9 +153,12 @@ def png_batches(image_dir: str, image_size: int, batch_size: int,
     from PIL import Image
     files = sorted(f for f in os.listdir(image_dir)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if shard is not None:
+        k, n = shard
+        files = files[k::n]       # stable striding: shard k of n hosts
     if skip:
         # resume: rows already in the output HDF5 correspond 1:1 to the
-        # leading files in this sorted order
+        # leading files in this (sharded) sorted order
         files = files[skip:]
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
@@ -248,6 +252,12 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel extraction over N devices "
                         "(0 = single device)")
+    p.add_argument("--shard", default=None, metavar="K/N",
+                   help="process every N-th image starting at K "
+                        "(0-based) — split a big extraction across N "
+                        "machines, each writing its own --out; composes "
+                        "with --resume (the skip applies within this "
+                        "shard's file list)")
     p.add_argument("--resume", action="store_true",
                    help="append to an existing --out: keeps its rows "
                         "(after truncating a mid-append crash to the "
@@ -305,14 +315,23 @@ def main(argv=None):
     done = writer.n
     if done:
         print(f"resuming: {done} images already in {a.out}")
+    shard = None
+    if a.shard:
+        k, n = (int(x) for x in a.shard.split("/"))
+        if not 0 <= k < n:
+            raise SystemExit(f"--shard {a.shard}: need 0 <= K < N")
+        shard = (k, n)
     if a.synthetic:
+        if shard is not None:
+            raise SystemExit("--shard applies to --image_dir runs")
         batches = synthetic_batches(a.synthetic, det.image_size,
                                     det.extract_batch_size, skip=done)
     else:
         assert a.image_dir, "--image_dir or --synthetic required"
         batches = png_batches(a.image_dir, det.image_size,
                               det.extract_batch_size,
-                              workers=a.io_workers, skip=done)
+                              workers=a.io_workers, skip=done,
+                              shard=shard)
     ex.run(batches, writer)
     print(f"wrote {a.out}")
 

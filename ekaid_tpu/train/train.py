@@ -234,16 +234,29 @@ class Trainer:
                         num_threads=self.cfg.data.num_workers,
                         prefetch=self.cfg.data.prefetch)
         predictions: Dict[str, str] = {}
-        for i, batch in enumerate(loader):
-            if max_batches is not None and i >= max_batches:
-                break
-            pair_index = batch["pair_index"]
-            out = decode_fn(self.state,
-                            shard_batch(self.mesh,
-                                        self._device_batch(batch)))
+
+        def flush(pair_index, out):
+            # np.asarray is the only true sync (axon acks buffers before
+            # execution) — by flushing batch i only after batch i+1 is
+            # enqueued, the D2H fetch + host detokenization overlap
+            # device compute and the relay roundtrip
             seqs = np.asarray(out["seq"])
             for j, sent in enumerate(self.vocab.decode_batch(seqs)):
                 predictions[str(int(pair_index[j]))] = sent
+
+        pending = None
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            nxt = (batch["pair_index"],
+                   decode_fn(self.state,
+                             shard_batch(self.mesh,
+                                         self._device_batch(batch))))
+            if pending is not None:
+                flush(*pending)
+            pending = nxt
+        if pending is not None:
+            flush(*pending)
 
         if not predictions:
             return {k: 0.0 for k in CaptionEvaluator.METRICS}, predictions

@@ -350,6 +350,34 @@ def test_png_batches_parallel_matches_sequential(tmp_path):
             assert (seq[-1][-1] == 0).all() and (par[-1][-1] == 0).all()
 
 
+def test_png_batches_sharding_partitions(tmp_path):
+    """--shard K/N: the N shards together cover every file exactly once
+    (stable striding over the sorted list), and compose with skip."""
+    import numpy as np
+    from PIL import Image
+    from ekaid_tpu.extract.runner import png_batches
+
+    rng = np.random.default_rng(1)
+    for i in range(10):
+        arr = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+        Image.fromarray(arr, "L").save(tmp_path / f"im{i:02d}.png")
+
+    full = np.concatenate(
+        list(png_batches(str(tmp_path), 16, 1, workers=1)))
+    parts = [np.concatenate(list(png_batches(str(tmp_path), 16, 1,
+                                             workers=1, shard=(k, 3))))
+             for k in range(3)]
+    assert sum(p.shape[0] for p in parts) == 10
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate(parts).reshape(10, -1), axis=0),
+        np.sort(full.reshape(10, -1), axis=0))
+    # shard 0 of 3 strides 0,3,6,9; skip=1 drops file 0
+    got = np.concatenate(list(png_batches(str(tmp_path), 16, 1,
+                                          workers=1, shard=(0, 3),
+                                          skip=1)))
+    np.testing.assert_array_equal(got, parts[0][1:])
+
+
 def test_iou_matrix_matches_scalar():
     """iou_plus_one_matrix must reproduce the scalar reference formula
     (f64, as the reference's get_iou computes on Python floats) for
