@@ -254,6 +254,51 @@ def test_meteor15_alignment_distance_tiebreak():
     assert pairs == [(0, 0, 0)]
 
 
+def test_meteor15_alignment_matches_bruteforce():
+    """On small inputs (where beam 40 is effectively exhaustive) the
+    aligner must achieve the true optimum of the jar's resolution
+    criteria (max matches, then min chunks, then min summed distance) —
+    verified against full enumeration of one-to-one matchings."""
+    import random
+    from ekaid_tpu.metrics.caption import (_meteor15_align,
+                                           _meteor_candidates)
+
+    def brute(hyp, ref):
+        cands = _meteor_candidates(hyp, ref, {})
+        best = [(0, 0, 0)]
+
+        def rec(i, used, pairs):
+            if i == len(hyp):
+                ch = dist = 0
+                pi = pj = -2
+                for (a, b, _s) in pairs:
+                    ch += 0 if (a == pi + 1 and b == pj + 1) else 1
+                    dist += abs(a - b)
+                    pi, pj = a, b
+                key = (len(pairs), ch, dist)
+                bm, bch, bd = best[0]
+                if (-key[0], key[1], key[2]) < (-bm, bch, bd):
+                    best[0] = key
+                return
+            rec(i + 1, used, pairs)
+            for j, stage in cands[i]:
+                if not used >> j & 1:
+                    rec(i + 1, used | (1 << j), pairs + [(i, j, stage)])
+
+        rec(0, 0, [])
+        return best[0]
+
+    rng = random.Random(0)
+    words = ["a", "b", "c"]
+    for _ in range(150):
+        hyp = [rng.choice(words) for _ in range(rng.randint(1, 5))]
+        ref = [rng.choice(words) for _ in range(rng.randint(1, 5))]
+        pairs, chunks = _meteor15_align(hyp, ref, {})
+        got = (len(pairs), chunks,
+               sum(abs(i - j) for i, j, _s in pairs))
+        assert got == brute(hyp, ref), (hyp, ref, got)
+
+
 def test_meteor15_native_matches_python_beam():
     """C++ beam search (native/caption.cpp) must agree with the Python
     search on randomized corpora, including repeated words where greedy
