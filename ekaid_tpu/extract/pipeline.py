@@ -27,6 +27,7 @@ missing nodes carry the sentinel class and get no semantic edges.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -188,12 +189,15 @@ class H5Writer:
 
     def __init__(self, path: str, num_nodes: int, feat_dim: int,
                  adj_pad: int = 100, feat_dtype: str = "float32",
-                 mode: str = "w"):
+                 mode: str = "w", run_meta: Optional[Dict] = None):
         """mode='a' resumes an interrupted extraction: existing rows are
         kept (self.n continues from them) after a consistency repair —
-        a crash mid-append can leave the five datasets at unequal
-        lengths, so all are truncated to the shortest. Geometry or
-        dtype mismatches raise instead of silently mixing runs."""
+        the 'committed_rows' attribute (written AFTER every dataset's
+        data in append) is the commit point, so a crash torn anywhere
+        inside an append — including inside the LAST dataset's write —
+        truncates back to the previous commit. Geometry, dtype, or
+        run_meta mismatches (shard spec, checkpoints, image dir) raise
+        instead of silently mixing runs."""
         import h5py
         assert feat_dtype in ("float32", "float16")
         assert mode in ("w", "a")
@@ -207,6 +211,15 @@ class H5Writer:
         }
         if mode == "a" and os.path.exists(path):
             self._h5 = h5py.File(path, "r+")
+            if run_meta:
+                old = json.loads(self._h5.attrs.get("run_meta", "{}"))
+                diff = {k: (old.get(k), v) for k, v in run_meta.items()
+                        if old and old.get(k) != v}
+                if diff:
+                    raise ValueError(
+                        f"resume run mismatch for {path}: "
+                        + ", ".join(f"{k}: file={a!r} vs run={b!r}"
+                                    for k, (a, b) in diff.items()))
             self.sets = {}
             for name, (shape, dtype) in shapes.items():
                 if name not in self._h5:
@@ -219,12 +232,17 @@ class H5Writer:
                         f"{ds.shape[1:]}/{ds.dtype} vs run "
                         f"{shape}/{dtype}")
                 self.sets[name] = ds
-            self.n = min(ds.shape[0] for ds in self.sets.values())
+            shortest = min(ds.shape[0] for ds in self.sets.values())
+            self.n = min(shortest,
+                         int(self._h5.attrs.get("committed_rows",
+                                                shortest)))
             for ds in self.sets.values():    # repair a mid-append crash
                 if ds.shape[0] != self.n:
                     ds.resize(self.n, axis=0)
             return
         self._h5 = h5py.File(path, "w")
+        if run_meta:
+            self._h5.attrs["run_meta"] = json.dumps(run_meta)
         self.n = 0
 
         def dset(name, shape, dtype):
@@ -241,9 +259,29 @@ class H5Writer:
             ds.resize(self.n + m, axis=0)
             ds[self.n:self.n + m] = np.stack([r[name] for r in records])
         self.n += m
-        self._h5.flush()    # bound data loss to one batch on a crash
+        # commit point: rows count only once every dataset's data is in
+        # place; bounds crash loss to one batch AND lets resume detect a
+        # write torn inside the last dataset
+        self._h5.attrs["committed_rows"] = self.n
+        self._h5.flush()
+
+    def truncate(self, n: int):
+        """Drop rows past n (the static-shape tail batch zero-pads; the
+        runner trims back to the real image count)."""
+        if n < self.n:
+            for ds in self.sets.values():
+                ds.resize(n, axis=0)
+            self.n = n
+            self._h5.attrs["committed_rows"] = n
+            self._h5.flush()
+
+    # when set (extract/runner.py knows the real image count), close()
+    # trims the zero-pad records the static-shape tail batch appended
+    expected_rows: Optional[int] = None
 
     def close(self):
+        if self.expected_rows is not None:
+            self.truncate(self.expected_rows)
         self._h5.close()
 
 
@@ -302,35 +340,31 @@ class Extractor:
         axon, the relay roundtrip). Results are identical to the serial
         loop — only the dispatch order changes."""
         import time
-        n_img = 0
-        warm_imgs = 0
+        state = {"n": 0, "i": -1, "warm_t": None, "warm_n": 0}
         t0 = time.time()
-        t_warm = None
+
+        def flush(dispatched, bsize):
+            writer.append(self.finish(dispatched))
+            state["n"] += bsize
+            state["i"] += 1
+            if state["i"] == 0:
+                state["warm_t"] = time.time()  # first batch = compile
+                state["warm_n"] = state["n"]
+            if (state["i"] + 1) % log_every == 0:
+                rate = state["n"] / (time.time() - t0)
+                print(f"extracted {state['n']} images "
+                      f"({rate:.2f} img/s)")
+
         pending = None                 # (dispatched, batch_size)
-        i = -1
         for images in image_batches:
             nxt = (self.dispatch(images), images.shape[0])
             if pending is not None:
-                writer.append(self.finish(pending[0]))
-                n_img += pending[1]
-                i += 1
-                if i == 0:
-                    t_warm = time.time()  # first batch pays the compile
-                    warm_imgs = n_img
-                if (i + 1) % log_every == 0:
-                    rate = n_img / (time.time() - t0)
-                    print(f"extracted {n_img} images ({rate:.2f} img/s)")
+                flush(*pending)
             pending = nxt
         if pending is not None:
-            writer.append(self.finish(pending[0]))
-            n_img += pending[1]
-            i += 1
-            if i == 0:
-                t_warm = time.time()       # first batch pays the compile
-                warm_imgs = n_img
-            if (i + 1) % log_every == 0:
-                rate = n_img / (time.time() - t0)
-                print(f"extracted {n_img} images ({rate:.2f} img/s)")
+            flush(*pending)
+        n_img, warm_imgs = state["n"], state["warm_n"]
+        t_warm = state["warm_t"]
         writer.close()
         total = max(time.time() - t0, 1e-9)
         rate = n_img / total

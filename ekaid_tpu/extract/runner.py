@@ -134,6 +134,17 @@ def build_detector_fns(cfg: Config,
     return ana_apply, dis_apply
 
 
+def list_images(image_dir: str,
+                shard: Optional[tuple] = None) -> list:
+    """Sorted image files, optionally strided to shard k of n."""
+    files = sorted(f for f in os.listdir(image_dir)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if shard is not None:
+        k, n = shard
+        files = files[k::n]
+    return files
+
+
 def png_batches(image_dir: str, image_size: int, batch_size: int,
                 workers: Optional[int] = None, prefetch: int = 4,
                 skip: int = 0,
@@ -151,14 +162,12 @@ def png_batches(image_dir: str, image_size: int, batch_size: int,
     threads gave only 1.1-1.2x — I/O overlap, no parallel zlib).
     Workers touch only PIL/numpy, never JAX (CLAUDE.md convention)."""
     from PIL import Image
-    files = sorted(f for f in os.listdir(image_dir)
-                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
-    if shard is not None:
-        k, n = shard
-        files = files[k::n]       # stable striding: shard k of n hosts
+    files = list_images(image_dir, shard)
     if skip:
-        # resume: rows already in the output HDF5 correspond 1:1 to the
-        # leading files in this (sharded) sorted order
+        # resume: committed rows in the output HDF5 correspond 1:1 to
+        # the leading files in this (sharded) sorted order — the writer
+        # trims tail-batch zero-pad rows on close so the count is real
+        # images only (main() also clamps a pre-trim crash)
         files = files[skip:]
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
@@ -268,6 +277,22 @@ def main(argv=None):
                         "restart point is read from the file)")
     a = p.parse_args(argv)
 
+    # validate cheap argv combinations BEFORE any checkpoint restore /
+    # jit setup / output-file truncation
+    shard = None
+    if a.shard:
+        try:
+            k, n = (int(x) for x in a.shard.split("/"))
+        except ValueError:
+            raise SystemExit(f"--shard {a.shard!r}: expected K/N")
+        if not 0 <= k < n:
+            raise SystemExit(f"--shard {a.shard}: need 0 <= K < N")
+        shard = (k, n)
+        if a.synthetic:
+            raise SystemExit("--shard applies to --image_dir runs")
+    if not a.synthetic and not a.image_dir:
+        raise SystemExit("--image_dir or --synthetic required")
+
     cfg = load_config(a.cfg) if a.cfg else default_config()
     det = cfg.detector
     if a.image_size:
@@ -308,26 +333,42 @@ def main(argv=None):
     ana_apply, dis_apply = build_detector_fns(cfg, ana_params, dis_params,
                                               mesh=mesh)
     ex = Extractor(ana_apply, dis_apply, det.num_disease_classes)
+    run_meta = {"shard": a.shard or "",
+                "image_dir": os.path.abspath(a.image_dir)
+                if a.image_dir else "",
+                "synthetic": int(a.synthetic),
+                "ana_ckpt": a.ana_ckpt or "", "dis_ckpt": a.dis_ckpt or "",
+                "norm": det.norm, "preprocess": det.preprocess,
+                "image_size": det.image_size}
     writer = H5Writer(a.out, num_nodes=2 * det.num_anatomy_classes,
                       feat_dim=det.roi_feat_dim,
                       feat_dtype=a.store_dtype,
-                      mode="a" if a.resume else "w")
+                      mode="a" if a.resume else "w", run_meta=run_meta)
     done = writer.n
-    if done:
-        print(f"resuming: {done} images already in {a.out}")
-    shard = None
-    if a.shard:
-        k, n = (int(x) for x in a.shard.split("/"))
-        if not 0 <= k < n:
-            raise SystemExit(f"--shard {a.shard}: need 0 <= K < N")
-        shard = (k, n)
     if a.synthetic:
-        if shard is not None:
-            raise SystemExit("--shard applies to --image_dir runs")
+        if done % det.extract_batch_size:
+            raise SystemExit(
+                f"synthetic resume needs committed rows ({done}) to be "
+                f"a multiple of the batch size "
+                f"({det.extract_batch_size}) — rerun with the original "
+                f"batch size")
+        if done:
+            print(f"resuming: {done} images already in {a.out}")
         batches = synthetic_batches(a.synthetic, det.image_size,
                                     det.extract_batch_size, skip=done)
     else:
-        assert a.image_dir, "--image_dir or --synthetic required"
+        total = len(list_images(a.image_dir, shard))
+        if done > total:
+            # a crash between the final padded append and the close()
+            # trim left pad rows committed; drop them before resuming
+            writer.truncate(total)
+            done = total
+        if done:
+            print(f"resuming: {done}/{total} images already in {a.out}")
+        # close() trims the tail batch's zero-pad records back to the
+        # real image count, keeping rows 1:1 with files for any later
+        # --resume (and for downstream consumers)
+        writer.expected_rows = total
         batches = png_batches(a.image_dir, det.image_size,
                               det.extract_batch_size,
                               workers=a.io_workers, skip=done,

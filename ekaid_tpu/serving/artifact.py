@@ -110,6 +110,20 @@ class Artifact:
                 f"batch_sizes including {b}")
         return self.decode_fns[b]
 
+    def check_sample(self, sample: Dict[str, Any]) -> None:
+        """Raise a clear error if the live dataset's per-sample shapes
+        differ from what the executables were traced at (otherwise the
+        mismatch surfaces as a deep aval error at the first decode)."""
+        rec = self.meta.get("sample_shapes", {})
+        for k, (shape, _dtype) in rec.items():
+            if k not in sample or list(np.shape(sample[k])) != shape:
+                got = (list(np.shape(sample[k])) if k in sample
+                       else "absent")
+                raise RuntimeError(
+                    f"artifact shape mismatch for {k!r}: exported "
+                    f"{shape}, live dataset {got} — the serving config "
+                    f"must match the export config; re-export")
+
 
 def load_artifact(path: str) -> Artifact:
     from flax import serialization
@@ -123,6 +137,11 @@ def load_artifact(path: str) -> Artifact:
             f"artifact was compiled for platform {meta['platform']!r} "
             f"but the live backend is {live!r}; XLA executables are "
             f"platform-pinned — re-export on this platform")
+    if meta["jax_version"] != jax.__version__:
+        raise RuntimeError(
+            f"artifact was exported under jax {meta['jax_version']} but "
+            f"this process runs jax {jax.__version__}; serialized "
+            f"executables are not stable across versions — re-export")
     device = jax.devices()[0]
     with open(os.path.join(path, _PARAMS), "rb") as f:
         params = serialization.msgpack_restore(f.read())

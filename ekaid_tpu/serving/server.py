@@ -60,7 +60,11 @@ class InferenceEngine:
         if artifact is not None:
             # zero-compile startup: pre-compiled executable + the
             # inference-cast params it was exported with
-            # (serving/artifact.py)
+            # (serving/artifact.py); fail with a clear message if the
+            # live dataset's shapes differ from the export
+            artifact.check_sample(
+                {k: v for k, v in self.ds.sample(self.index).items()
+                 if k != "pair_index"})
             trainer.state = trainer.state.replace(params=artifact.params)
             self._decode = artifact.fn_for_batch(1)
         else:
@@ -266,9 +270,13 @@ class CoalescingEngine(InferenceEngine):
                 for k in rows[0]}
 
     def _dispatch(self):
-        """Folding loop: collect up to coalesce_batch requests (linger
-        for stragglers), assemble the host batch, then hand execution
-        to a free device slot — folding continues while devices run."""
+        """Folding loop with backpressure: collect up to coalesce_batch
+        requests (linger for stragglers), then KEEP folding until a
+        device slot frees up — while every chip is busy, new arrivals
+        join the current batch instead of spawning queued batches, so
+        at most `replicas` batches are in flight (bounded device
+        memory) and load coalesces into full buckets instead of
+        trickling out as padded near-empty ones."""
         import queue
         while True:
             first = self._q.get()
@@ -282,6 +290,18 @@ class CoalescingEngine(InferenceEngine):
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            device = None
+            while device is None:
+                if len(items) >= self.coalesce_batch:
+                    device = self._free.get()
+                    break
+                try:
+                    device = self._free.get_nowait()
+                except queue.Empty:
+                    try:                    # fold while chips are busy
+                        items.append(self._q.get(timeout=0.001))
+                    except queue.Empty:
+                        pass
             self.stats["batches"] += 1
             self.stats["requests"] += len(items)
             self.stats["coalesced"] += len(items) > 1
@@ -294,15 +314,17 @@ class CoalescingEngine(InferenceEngine):
                 else:
                     batch = self._stack([(i, q) for i, q, _, _ in items])
             except Exception as e:          # report, don't kill serving
+                self._free.put(device)
                 for *_, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self._pool.submit(self._execute, items, batch)
+            self._pool.submit(self._execute, items, batch, device)
 
-    def _execute(self, items, batch):
+    def _execute(self, items, batch, device):
+        """Runs on a pool thread; `device` was reserved by the
+        dispatcher (backpressure) and is released here."""
         try:
-            device = self._free.get()       # one in-flight run per chip
             try:
                 self.stats["per_device"][str(device)] += 1
                 params = self._params_dev[device]

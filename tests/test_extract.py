@@ -205,6 +205,64 @@ def test_h5_writer_resume_repairs_crash(tmp_path):
         assert all(f[k].shape[0] == 3 for k in f.keys())
 
 
+def test_h5_writer_resume_detects_torn_last_dataset(tmp_path):
+    """A crash torn INSIDE the final dataset's write leaves all five
+    datasets at the new length but committed_rows at the previous
+    commit; resume must truncate back to the commit point."""
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12)
+    w.append([rec, rec, rec])
+    # simulate: every dataset resized+written for 2 more rows but the
+    # commit attribute never updated (crash before the commit line)
+    for ds in w.sets.values():
+        ds.resize(5, axis=0)
+    w._h5.attrs["committed_rows"] = 3
+    w._h5.close()
+    w2 = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12, mode="a")
+    assert w2.n == 3
+    assert all(ds.shape[0] == 3 for ds in w2.sets.values())
+    w2.close()
+
+
+def test_h5_writer_truncate_on_close(tmp_path):
+    """expected_rows trims tail-batch zero-pad records at close."""
+    import h5py
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12)
+    w.append([rec, rec, rec, rec])    # 3 real + 1 pad
+    w.expected_rows = 3
+    w.close()
+    with h5py.File(path) as f:
+        assert all(f[k].shape[0] == 3 for k in f.keys())
+        assert f.attrs["committed_rows"] == 3
+
+
+def test_h5_writer_resume_rejects_run_meta_mismatch(tmp_path):
+    ana, dis = make_extraction()
+    organ, co, isd = K.semantic_tables()
+    rec = combine_pair(ana, dis, organ, co, isd, adj_pad=12)
+    path = str(tmp_path / "cmb.hdf5")
+    w = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12,
+                 run_meta={"shard": "0/3", "image_dir": "/a"})
+    w.append([rec])
+    w.close()
+    import pytest
+    with pytest.raises(ValueError, match="run mismatch"):
+        H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12, mode="a",
+                 run_meta={"shard": "1/3", "image_dir": "/a"})
+    # identical meta resumes fine
+    w2 = H5Writer(path, num_nodes=8, feat_dim=8, adj_pad=12, mode="a",
+                  run_meta={"shard": "0/3", "image_dir": "/a"})
+    assert w2.n == 1
+    w2.close()
+
+
 def test_h5_writer_resume_rejects_mismatch(tmp_path):
     ana, dis = make_extraction()
     organ, co, isd = K.semantic_tables()

@@ -135,6 +135,19 @@ def test_artifact_engine_matches_live(artifact_dir, engine):
     assert c["answer"] == a["answer"]
 
 
+def test_artifact_shape_mismatch_raises(artifact_dir):
+    from ekaid_tpu.serving.artifact import load_artifact
+    art = load_artifact(artifact_dir)
+    sample = {k: np.zeros(tuple(s), np.float32)
+              for k, (s, _d) in art.meta["sample_shapes"].items()}
+    art.check_sample(sample)              # exported shapes pass
+    bad = dict(sample)
+    first = next(iter(bad))
+    bad[first] = np.zeros((1, 1), np.float32)
+    with pytest.raises(RuntimeError, match="shape mismatch"):
+        art.check_sample(bad)
+
+
 def test_artifact_missing_batch_size_raises(artifact_dir):
     from ekaid_tpu.serving.artifact import load_artifact
     art = load_artifact(artifact_dir)
