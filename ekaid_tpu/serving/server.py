@@ -24,7 +24,9 @@ Concurrency: requests from concurrent clients are micro-batch-coalesced
 into one padded batched decode by `CoalescingEngine` (default; see its
 docstring) — the chip's decode throughput is strongly batch-dependent,
 so N clients cost ~one batched invocation instead of N serialized
-batch-1 invocations.
+batch-1 invocations. `--replicas N` adds N device-bound execution slots
+(multi-chip serving); `--export_artifact`/`--artifact` pre-compile the
+decode for zero-compile startup (serving/artifact.py).
 """
 
 from __future__ import annotations
