@@ -351,6 +351,18 @@ class CoalescingEngine(InferenceEngine):
                 if not fut.done():
                     fut.set_exception(e)
 
+    def drain(self, timeout_s: float = 60.0) -> bool:
+        """Wait until no request is queued and every device slot is
+        free (shutdown path: never kill a TPU process mid-claim — it
+        can wedge the chip; memory: axon-tpu-quirks)."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if (self._q.empty()
+                    and self._free.qsize() == len(self.devices)):
+                return True
+            time.sleep(0.05)
+        return False
+
     def answer(self, question_text: Optional[str],
                index: Optional[int] = None,
                detail: bool = False) -> dict:
@@ -535,8 +547,24 @@ def main(argv=None):
         engine = InferenceEngine(trainer, image_dir=a.image_dir,
                                  artifact=artifact)
     server = ThreadingHTTPServer((a.host, a.port), make_handler(engine))
+
+    # graceful shutdown: stop accepting, drain in-flight decodes, then
+    # exit — never die mid-device-claim (it can wedge the chip; memory:
+    # axon-tpu-quirks)
+    import signal
+    import threading
+
+    def _shutdown(signum, frame):
+        print(f"signal {signum}: draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
     print(f"serving on http://{a.host}:{a.port}")
     server.serve_forever()
+    if hasattr(engine, "drain"):
+        ok = engine.drain()
+        print("drained cleanly" if ok else "drain timed out")
 
 
 if __name__ == "__main__":

@@ -103,10 +103,28 @@ class Trainer:
             entropy_weight=cfg.train.entropy_weight)
         self.jit_train = self.make_train(0.0)
         self.ckpt = CheckpointManager(os.path.join(workdir, "snapshots"))
+        self.stop_requested = False
         self.best = self.ckpt.best_metric()
         from ekaid_tpu.utils.logging import MetricsLogger
         self.logger = MetricsLogger(workdir)
         self._dump_model_print()
+
+    def install_preemption_handler(self):
+        """SIGTERM/SIGINT → finish the in-flight step, checkpoint,
+        exit cleanly (never kill a TPU process mid-claim — it can wedge
+        the chip; memory: axon-tpu-quirks). With the exact mid-epoch
+        resume, `--resume` continues from the precise batch."""
+        import signal
+
+        def _request_stop(signum, frame):
+            if self.stop_requested:       # second signal: give up
+                raise KeyboardInterrupt
+            self.stop_requested = True
+            print(f"signal {signum}: will checkpoint and exit after "
+                  f"the current step")
+
+        signal.signal(signal.SIGTERM, _request_stop)
+        signal.signal(signal.SIGINT, _request_stop)
 
     def _dump_model_print(self):
         """Architecture dump to <workdir>/model_print
@@ -181,6 +199,19 @@ class Trainer:
             ss_prob = ss_prob_for_epoch(cfg, epoch)
             step_fn = self.make_train(ss_prob)
             for device_batch in device_batches():
+                if self.stop_requested:
+                    # preemption (SIGTERM/SIGINT via install_preemption
+                    # _handler): save a resumable checkpoint and leave
+                    # cleanly — NOT mid-device-claim (killing a TPU
+                    # process mid-claim can wedge the chip; memory:
+                    # axon-tpu-quirks). Combined with the exact
+                    # mid-epoch resume above, training continues from
+                    # this precise batch.
+                    self.ckpt.save(self.state,
+                                   config_dict=self.cfg.to_dict())
+                    print(f"preempted at iter {t}: checkpoint saved; "
+                          f"resume with --resume")
+                    return last_metrics
                 it_start = time.time()
                 self.state, metrics = step_fn(
                     self.state, device_batch, self.rng)
@@ -382,7 +413,10 @@ def main(argv=None):
         from ekaid_tpu.utils.checkpoint import abstract_like
         trainer.state = trainer.ckpt.restore(abstract_like(trainer.state))
         print(f"resumed from step {int(trainer.state.step)}")
+    trainer.install_preemption_handler()
     trainer.train(eval_fraction=a.eval_batches)
+    if trainer.stop_requested:            # preempted: checkpoint is
+        return                            # saved; skip the final eval
     trainer.snapshot_and_eval(int(trainer.state.step),
                               max_batches=a.eval_batches)
 

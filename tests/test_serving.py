@@ -227,6 +227,18 @@ def test_replicas_bounds_checked(engine):
         CoalescingEngine(engine.trainer, coalesce_batch=4, replicas=99)
 
 
+def test_drain_waits_for_inflight(coalescing_engine):
+    """drain() returns True once the queue is empty and every device
+    slot is free (the graceful-shutdown path)."""
+    from concurrent.futures import ThreadPoolExecutor
+    eng = coalescing_engine
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        outs = list(ex.map(
+            lambda _: eng.answer("what has changed"), range(4)))
+    assert all(isinstance(o["answer"], str) for o in outs)
+    assert eng.drain(timeout_s=30)
+
+
 def test_coalescing_concurrent_clients(coalescing_engine):
     """16 concurrent requests must all succeed, answers must match their
     per-index batch-1 results, and the dispatcher must have folded at
