@@ -40,9 +40,26 @@ run() {  # run <tag> <timeout_s> <cmd...>
   local rc=${PIPESTATUS[0]}
   if [ "$rc" -ne 0 ]; then
     echo "{\"tag\": \"$tag\", \"exit\": $rc}" >> "$OUT"
+    # a timeout kill (rc 124) terminated a TPU process mid-claim — the
+    # one thing that can wedge the chip (CLAUDE.md). Probe before
+    # burning every remaining job's timeout against a dead device.
+    if [ "$rc" -eq 124 ] && ! chip_ok; then
+      echo "{\"tag\": \"$tag\", \"aborted\": \"chip wedged after timeout; queue stopped, remaining jobs left for the next window\"}" >> "$OUT"
+      echo "chip wedged after $tag — aborting queue"
+      exit 3
+    fi
   else
     echo "{\"tag\": \"$tag\", \"done\": true}" >> "$OUT"
   fi
+}
+
+chip_ok() {  # tiny device op in a disposable subprocess, bounded
+  timeout 180 python - <<'EOF'
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 8))
+assert float(jnp.sum(x)) == 64.0
+print("chip ok:", jax.devices()[0].platform)
+EOF
 }
 
 # 1. canvas ROIAlign: kron pooling + group sweep (1000 ROIs, b1 + b8)
