@@ -72,6 +72,13 @@ def main(argv=None):
                    help=">1 switches decode to beam search "
                         "(_sample dispatch parity, "
                         "dynamic_speaker_change_pos.py:299-301)")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="decode batch (default: config's 64 — the "
+                        "reference eval batch, configs/config.py:123). "
+                        "Greedy decode is per-sample independent, so "
+                        "this only changes throughput: on the v5e, 128 "
+                        "measured 14.4k pairs/s (47.6%% MFU) vs 10-11k "
+                        "at 64 (tests/test_model.py batch-invariance)")
     p.add_argument("overrides", nargs="*", metavar="KEY VALUE",
                    help="trailing dotted-key config overrides "
                         "(merge_cfg_from_list parity)")
@@ -83,6 +90,9 @@ def main(argv=None):
         cfg = merge_from_list(cfg, a.overrides)
     cfg = cfg.replace(train=cfg.train.replace(graph=a.graph),
                       data=cfg.data.replace(feature_mode=a.feature_mode))
+    if a.batch_size:
+        cfg = cfg.replace(data=cfg.data.replace(
+            test=cfg.data.test.replace(batch_size=a.batch_size)))
     if a.synthetic:
         trainer = build_synthetic_trainer(cfg, a.workdir)
     else:

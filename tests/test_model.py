@@ -719,3 +719,28 @@ def test_length_bucket_selection():
     # buckets >= seq_length are ignored (full program is the fallback)
     out = trim_batch_to_bucket(fake(3), (12, 20), 12)
     assert out["labels"].shape[1] == 13
+
+
+def test_greedy_decode_batch_size_invariant(setup):
+    """Greedy decode is per-sample independent: decoding 6 samples in
+    one batch must produce token-identical sequences to decoding them
+    as 3+3 (and 6×1). This is what makes the eval driver's decode batch
+    a pure throughput knob (`ekaid-test --batch_size`; the reference
+    pins eval batch 64, configs/config.py:123 — on the v5e, batch 128
+    measures 1.4× the pairs/s of 64)."""
+    cfg, model, _, params = setup
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 6, seed=13))
+
+    def decode(b):
+        return np.asarray(model.apply(params, b, method="decode",
+                                      sample_max=True)["seq"])
+
+    full = decode(batch)
+
+    def rows(lo, hi):
+        return jax.tree.map(lambda x: x[lo:hi], batch)
+
+    halves = np.concatenate([decode(rows(0, 3)), decode(rows(3, 6))])
+    np.testing.assert_array_equal(full, halves)
+    singles = np.concatenate([decode(rows(i, i + 1)) for i in range(6)])
+    np.testing.assert_array_equal(full, singles)
