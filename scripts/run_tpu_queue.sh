@@ -67,6 +67,8 @@ run roi_base      1200 python scripts/bench_roi.py --only canvas
 run roi_kron      1200 python scripts/bench_roi.py --only canvas --pooling kron
 run roi_g16       1200 python scripts/bench_roi.py --only canvas --group 16
 run roi_kron_g16  1200 python scripts/bench_roi.py --only canvas --pooling kron --group 16
+run roi_g32       1200 python scripts/bench_roi.py --only canvas --group 32
+run roi_kron_g32  1200 python scripts/bench_roi.py --only canvas --pooling kron --group 32
 run roi_b8_base   1800 python scripts/bench_roi.py --only canvas --batch 8
 run roi_b8_best   1800 python scripts/bench_roi.py --only canvas --batch 8 --pooling kron
 # 2. extraction stages: s2d stem A/B (also re-baselines post-kron)
