@@ -348,7 +348,22 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
     geometry; use the patch-DMA or XLA backends otherwise.
 
     `group` = ROIs pooled per grid step (unrolled in the kernel);
-    amortizes per-step overhead against kernel code size."""
+    amortizes per-step overhead against kernel code size. Measured
+    on-chip (r3): group=16 hit the remote-compile long-program
+    pathology (>15 min vs 107 s at group=8) — keep the default.
+
+    `pooling='kron'` is INTERPRET-ONLY: real Mosaic rejects its
+    weight-matrix build (`tpu.reshape vector<7x7x48x56> ->
+    vector<49x2688>`: lane-merging reshapes are an unsupported shape
+    cast; interpret mode doesn't model layout legality). A legal
+    restructuring (expanding a_y/b_x via constant 0/1 matmuls) costs
+    ~3x the pooling FLOPs and defeats the single-pass premise, so the
+    variant is kept as interpret-verified reference code only."""
+    if pooling == "kron" and not interpret:
+        raise NotImplementedError(
+            "pooling='kron' is interpret-only: Mosaic rejects its "
+            "lane-merging weight reshape (unsupported shape cast); "
+            "use pooling='separable' on hardware")
     batched = rois.ndim == 3
     if not batched:
         fmaps = [f[None] for f in fmaps]

@@ -539,6 +539,21 @@ def test_canvas_roi_kron_pooling_matches(rng):
     np.testing.assert_allclose(kron, sep, rtol=1e-5, atol=1e-6)
 
 
+def test_canvas_roi_kron_hardware_path_raises(rng):
+    """kron is interpret-only: real Mosaic rejects its lane-merging
+    weight reshape (r3 on-chip finding) — the hardware path must fail
+    loudly at trace time, not with an opaque remote-compile 500."""
+    import pytest
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [jnp.zeros((128 >> i, 128 >> i, 8), jnp.float32)
+             for i in range(4)]
+    rois = jnp.asarray([[4.0, 4.0, 40.0, 40.0]])
+    with pytest.raises(NotImplementedError, match="interpret-only"):
+        multilevel_roi_align_canvas(
+            fmaps, rois, [0.25, 0.125, 0.0625, 0.03125],
+            out_size=7, pooling="kron")
+
+
 def test_canvas_roi_group_sizes_match(rng):
     """group (ROIs per grid step) is a pure performance knob — results
     must be identical across group sizes, including when the ROI count
