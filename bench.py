@@ -153,7 +153,8 @@ def _decode_chain(model, params, batch, seq_len, batch_size):
     return dstep, run_chain
 
 
-def bench_qa(platform: str, variants: bool = False):
+def bench_qa(platform: str, variants: bool = False,
+             batch_size: int | None = None):
     import jax
     import jax.numpy as jnp
     from ekaid_tpu.config import default_config
@@ -166,7 +167,8 @@ def bench_qa(platform: str, variants: bool = False):
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
 
-    batch_size = cfg.data.test.batch_size          # 64, eval parity
+    if batch_size is None:
+        batch_size = cfg.data.test.batch_size      # 64, eval parity
     batch = jax.tree.map(jnp.asarray,
                          synthetic_batch(cfg, batch_size, seed=0))
     params = model.init(
@@ -312,6 +314,7 @@ def main():
                          "variants (extra multi-minute compiles)")
     a = ap.parse_args()
 
+    t_start = time.perf_counter()
     platform = "tpu"
     if not _tpu_responsive():
         import os
@@ -352,6 +355,22 @@ def main():
                 record["extract_mfu_pct"] = ext["mfu_pct"]
         except Exception as e:       # extraction must not kill the line
             record["extract_error"] = f"{type(e).__name__}: {e}"
+    # serving-scale operating point: batch 128 is the measured MFU
+    # sweet spot (47.6% vs 33-37% at eval-parity 64; greedy decode is
+    # proven batch-invariant, tests/test_model.py) and is what the
+    # coalescing server runs at load. Time-guarded: only attempted when
+    # the b64+extract phase ran warm (persistent compile cache), so a
+    # cold-cache driver run never risks its timeout on an extra
+    # multi-minute remote compile.
+    if platform == "tpu" and time.perf_counter() - t_start < 600:
+        try:
+            qa128 = bench_qa(platform, batch_size=128)
+            record["pairs_per_sec_b128"] = round(
+                qa128["pairs_per_sec"], 2)
+            if "mfu_pct" in qa128:
+                record["mfu_pct_b128"] = qa128["mfu_pct"]
+        except Exception as e:
+            record["b128_error"] = f"{type(e).__name__}: {e}"
     try:
         record["loader_pairs_per_sec"] = _bench_loader()
     except Exception as e:           # host-IO bench must not kill it
