@@ -371,10 +371,45 @@ def main():
                 record["mfu_pct_b128"] = qa128["mfu_pct"]
         except Exception as e:
             record["b128_error"] = f"{type(e).__name__}: {e}"
+    elif platform == "tpu":
+        # self-describing skip (ADVICE r3): downstream consumers must be
+        # able to tell 'guard tripped' from 'not attempted'. The guard
+        # only trips when the b64+extract phase ran cold — the b128
+        # executable is pre-populated into the persistent compile cache
+        # by the measurement queue (scripts/run_tpu_queue.sh 'bench'
+        # job), so a warm driver run always reaches this point in time.
+        record["b128_skipped"] = (
+            f"time-guard ({time.perf_counter() - t_start:.0f}s elapsed "
+            f">= 600s budget before the b128 attempt)")
+    # honest best operating point across everything measured this run
+    best = max((v for k, v in record.items()
+                if k.startswith("pairs_per_sec") and
+                isinstance(v, (int, float))),
+               default=None)
+    if best is not None and isinstance(record.get("value"), (int, float)):
+        record["pairs_per_sec_best"] = max(best, record["value"])
     try:
         record["loader_pairs_per_sec"] = _bench_loader()
     except Exception as e:           # host-IO bench must not kill it
         record["loader_error"] = f"{type(e).__name__}: {e}"
+    # end-to-end eval rate (loader -> decode -> detokenize, overlapped;
+    # test_mimic.py:136-137 parity) — the number a user actually gets,
+    # with the host wall included. Inline (this process already holds
+    # the device claim); time-guarded like b128.
+    if platform == "tpu" and time.perf_counter() - t_start < 900:
+        try:
+            import os
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts"))
+            from bench_e2e import run_e2e
+            e2e = run_e2e(batch_size=64, pairs=1664)
+            record["e2e_pairs_per_sec"] = e2e["e2e_pairs_per_sec"]
+        except Exception as e:
+            record["e2e_error"] = f"{type(e).__name__}: {e}"
+    elif platform == "tpu":
+        record["e2e_skipped"] = (
+            f"time-guard ({time.perf_counter() - t_start:.0f}s elapsed "
+            f">= 900s budget before the e2e attempt)")
     print(json.dumps(record))
 
 

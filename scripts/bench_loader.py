@@ -35,6 +35,68 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 os.environ.setdefault("EKAID_PLATFORM", "cpu")
 
 
+def ensure_fixture(path: str, images: int, cfg,
+                   feat_dtype: str = "float32") -> None:
+    """Write (or validate) a synthetic flagship-schema HDF5 in the
+    reference's chunked-int64 layout (combine_dicts.py:168-183)."""
+    import h5py
+    d = cfg.data
+    rng = np.random.default_rng(0)
+    if os.path.exists(path):
+        # a stale fixture must match this run exactly (rows, dtype,
+        # geometry) or the A/B labels lie; a partial/corrupt file from
+        # a killed run must not poison the path forever
+        try:
+            with h5py.File(path, "r") as h5:
+                f = h5["image_features"]
+                adj = h5["image_adj_matrix"]
+                ok = (f.shape[0] >= images
+                      and f.dtype == np.dtype(feat_dtype)
+                      and f.shape[1:] == (d.num_nodes, d.feature_dim)
+                      and adj.shape[1:] == (d.adj_pad, d.adj_pad))
+        except Exception:
+            ok = False
+        if not ok:
+            os.remove(path)
+    if not os.path.exists(path):
+        n = images
+        ch = min(100, n)   # reference uses 100-row chunks
+        with h5py.File(path, "w") as h5:
+            h5.create_dataset("image_features",
+                              chunks=(ch, d.num_nodes, d.feature_dim),
+                              data=rng.standard_normal(
+                                  (n, d.num_nodes, d.feature_dim)
+                              ).astype(feat_dtype))
+            h5.create_dataset("image_bb",
+                              chunks=(ch, d.num_nodes, 4),
+                              data=rng.uniform(
+                0, 1024, (n, d.num_nodes, 4)).astype(np.float32))
+            for k in ("image_adj_matrix", "semantic_adj_matrix"):
+                h5.create_dataset(k, chunks=(ch, d.adj_pad, d.adj_pad),
+                                  data=rng.integers(
+                    0, 3, (n, d.adj_pad, d.adj_pad), dtype=np.int64))
+        print(f"wrote {path} "
+              f"({os.path.getsize(path) / 2**20:.0f} MB)", flush=True)
+
+
+def fixture_dataset(cfg, h5_path: str, pairs: int, images: int,
+                    vocab_size: int = 100):
+    """DiffVQADataset over the fixture HDF5 with synthetic QA arrays."""
+    from ekaid_tpu.data.pipeline import DiffVQADataset, H5FeatureStore
+    rng = np.random.default_rng(0)
+    t = cfg.speaker.seq_length
+    arrays = {
+        "questions": rng.integers(
+            1, vocab_size, (pairs, cfg.question.max_len)).astype(np.int32),
+        "answers": rng.integers(1, vocab_size, (pairs, t)).astype(np.int32),
+        "pos": rng.integers(0, 16, (pairs, t)).astype(np.int32),
+        "feature_idx": rng.integers(
+            0, images, (pairs, 2)).astype(np.int64),
+    }
+    return DiffVQADataset(cfg, H5FeatureStore(h5_path), "train",
+                          arrays=arrays)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--images", type=int, default=512)
@@ -51,64 +113,12 @@ def main():
     from ekaid_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     from ekaid_tpu.config import default_config
-    from ekaid_tpu.data.pipeline import (DiffVQADataset, H5FeatureStore,
-                                         Loader)
+    from ekaid_tpu.data.pipeline import Loader
 
     cfg = default_config()
     d = cfg.data
-    rng = np.random.default_rng(0)
-
-    import h5py
-    if os.path.exists(a.h5):
-        # a stale fixture must match this run exactly (rows, dtype,
-        # geometry) or the A/B labels lie; a partial/corrupt file from
-        # a killed run must not poison the path forever
-        try:
-            with h5py.File(a.h5, "r") as h5:
-                f = h5["image_features"]
-                adj = h5["image_adj_matrix"]
-                ok = (f.shape[0] >= a.images
-                      and f.dtype == np.dtype(a.feat_dtype)
-                      and f.shape[1:] == (d.num_nodes, d.feature_dim)
-                      and adj.shape[1:] == (d.adj_pad, d.adj_pad))
-        except Exception:
-            ok = False
-        if not ok:
-            os.remove(a.h5)
-    if not os.path.exists(a.h5):
-        n = a.images
-        ch = min(100, n)   # reference uses 100-row chunks
-        with h5py.File(a.h5, "w") as h5:
-            # reference layout incl. chunked rows + int64 adj
-            # (combine_dicts.py:168-183)
-            h5.create_dataset("image_features",
-                              chunks=(ch, d.num_nodes, d.feature_dim),
-                              data=rng.standard_normal(
-                                  (n, d.num_nodes, d.feature_dim)
-                              ).astype(a.feat_dtype))
-            h5.create_dataset("image_bb",
-                              chunks=(ch, d.num_nodes, 4),
-                              data=rng.uniform(
-                0, 1024, (n, d.num_nodes, 4)).astype(np.float32))
-            for k in ("image_adj_matrix", "semantic_adj_matrix"):
-                h5.create_dataset(k, chunks=(ch, d.adj_pad, d.adj_pad),
-                                  data=rng.integers(
-                    0, 3, (n, d.adj_pad, d.adj_pad), dtype=np.int64))
-        print(f"wrote {a.h5} "
-              f"({os.path.getsize(a.h5) / 2**20:.0f} MB)", flush=True)
-
-    store = H5FeatureStore(a.h5)
-    n = a.pairs
-    t = cfg.speaker.seq_length
-    arrays = {
-        "questions": rng.integers(
-            1, 100, (n, cfg.question.max_len)).astype(np.int32),
-        "answers": rng.integers(1, 100, (n, t)).astype(np.int32),
-        "pos": rng.integers(0, 16, (n, t)).astype(np.int32),
-        "feature_idx": rng.integers(
-            0, a.images, (n, 2)).astype(np.int64),
-    }
-    ds = DiffVQADataset(cfg, store, "train", arrays=arrays)
+    ensure_fixture(a.h5, a.images, cfg, a.feat_dtype)
+    ds = fixture_dataset(cfg, a.h5, a.pairs, a.images)
     loader = Loader(ds, batch_size=a.batch, shuffle=True, seed=0,
                     num_threads=a.threads, prefetch=a.prefetch)
 
