@@ -302,6 +302,13 @@ class DetectorConfig:
     # for images above 1536²), 'xla' (differentiable gather), or 'auto'
     # (canvas on TPU, xla elsewhere). Training always uses XLA.
     roi_backend: str = "auto"
+    # canvas-kernel schedule (ops/pallas_roi.py): roi_group = ROIs per
+    # grid step (per-step fixed cost amortizes over it); roi_unroll =
+    # Python-unrolled ROIs per in-kernel fori_loop body (0 = fully
+    # unrolled, round-3 behavior). group>8 needs unroll<=8 to stay
+    # inside the remote-compile code-size bound.
+    roi_group: int = 8
+    roi_unroll: int = 0
     # RPN pre-NMS top-k at inference: 'exact' (Detectron2 bit-parity
     # sort) or 'approx' (lax.approx_max_k, recall 0.99 — TPU partial
     # reduction; DOCUMENTED DEVIATION, rpn.py::generate_proposals).

@@ -31,6 +31,8 @@ class BoxHead(nn.Module):
     pool_size: int = 7
     policy: Policy = F32
     roi_backend: str = "xla"  # 'xla' | 'pallas' | 'canvas'; see config
+    roi_group: int = 8        # canvas: ROIs per grid step
+    roi_unroll: int = 0       # canvas: unroll per fori body (0 = full)
 
     @nn.compact
     def __call__(self, fmaps: Sequence[jnp.ndarray], rois: jnp.ndarray,
@@ -48,7 +50,8 @@ class BoxHead(nn.Module):
             from ekaid_tpu.ops.pallas_roi import \
                 multilevel_roi_align_canvas
             pooled = multilevel_roi_align_canvas(
-                fmaps, rois, scales, out_size=self.pool_size)
+                fmaps, rois, scales, out_size=self.pool_size,
+                group=self.roi_group, unroll=self.roi_unroll)
         elif rois.ndim == 3 and self.roi_backend == "pallas":
             # patch-DMA kernel (no autodiff — inference path only)
             from ekaid_tpu.ops.pallas_roi import \

@@ -221,7 +221,8 @@ def _roi_geometry(flat_rois, scales, heights, out_size: int, s: int,
 def _make_canvas_kernel(out_size: int, sampling_ratio: int,
                         num_levels: int, heights: tuple, x_off: tuple,
                         group: int, n_chunks: int,
-                        pooling: str = "separable"):
+                        pooling: str = "separable",
+                        unroll: int = 0):
     """Whole-pyramid-in-VMEM variant: levels are DMA'd ONCE per image
     into a canvas scratch (side by side along x), and every ROI slices
     its 48×56 patch from VMEM — no per-ROI HBM traffic at all. The
@@ -271,8 +272,9 @@ def _make_canvas_kernel(out_size: int, sampling_ratio: int,
         grid = ((iota_os_i // s).astype(jnp.float32)
                 + ((iota_os_i % s).astype(jnp.float32) + 0.5) / s)
 
-        for j in range(group):
-            r = (b * n_chunks + g) * group + j
+        def one_roi(r, j):
+            """Pool ROI r (flat index) into out_ref[j]. j may be a
+            traced scalar (fori_loop) or a Python int (unrolled)."""
             y1r = fmeta_s[8 * r + 0]
             x1r = fmeta_s[8 * r + 1]
             bh = fmeta_s[8 * r + 2]
@@ -319,8 +321,8 @@ def _make_canvas_kernel(out_size: int, sampling_ratio: int,
                 o = jnp.dot(w.astype(patch.dtype),
                             patch.reshape(PATCH_Y * PATCH_X, c),
                             preferred_element_type=jnp.float32)
-                out_ref[j] = o.reshape(out_size, out_size, c).astype(
-                    out_ref.dtype)
+                out_ref[pl.ds(j, 1)] = o.reshape(
+                    1, out_size, out_size, c).astype(out_ref.dtype)
             else:
                 t = jnp.dot(a_y.astype(patch.dtype),
                             patch.reshape(PATCH_Y, PATCH_X * c),
@@ -328,7 +330,29 @@ def _make_canvas_kernel(out_size: int, sampling_ratio: int,
                 t = t.reshape(out_size, PATCH_X, c)
                 o = jax.lax.dot_general(b_x, t,
                                         (((1,), (1,)), ((), ())))
-                out_ref[j] = o.transpose(1, 0, 2).astype(out_ref.dtype)
+                out_ref[pl.ds(j, 1)] = o.transpose(1, 0, 2)[None].astype(
+                    out_ref.dtype)
+
+        base = (b * n_chunks + g) * group
+        if not unroll or unroll >= group:
+            # fully unrolled (round-3 behavior): per-grid-step fixed
+            # cost amortizes over `group` ROIs, but kernel code size
+            # grows with group — group>8 hit the remote-compile
+            # pathology (see multilevel_roi_align_canvas docstring)
+            for j in range(group):
+                one_roi(base + j, j)
+        else:
+            # two-level: fori_loop over group//unroll blocks, `unroll`
+            # ROIs Python-unrolled per iteration — grid steps (and
+            # their fixed cost) shrink by group/8 while code size stays
+            # at the proven-compilable unroll factor
+            def body(blk, _):
+                for u in range(unroll):
+                    j = blk * unroll + u
+                    one_roi(base + j, j)
+                return _
+
+            jax.lax.fori_loop(0, group // unroll, body, 0)
 
     return kernel
 
@@ -341,16 +365,22 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
                                 min_level: int = 2,
                                 interpret: bool = False,
                                 pooling: str = "separable",
-                                group: int = 8) -> jnp.ndarray:
+                                group: int = 8,
+                                unroll: int = 0) -> jnp.ndarray:
     """Canvas variant of multilevel_roi_align_pallas (same contract and
     ROI geometry/level-bump semantics). Requires the whole pyramid of
     one image to fit VMEM (~66 MB at 1024²/C=256 bf16) — the extraction
     geometry; use the patch-DMA or XLA backends otherwise.
 
-    `group` = ROIs pooled per grid step (unrolled in the kernel);
-    amortizes per-step overhead against kernel code size. Measured
-    on-chip (r3): group=16 hit the remote-compile long-program
-    pathology (>15 min vs 107 s at group=8) — keep the default.
+    `group` = ROIs pooled per grid step; amortizes per-grid-step fixed
+    cost (block bookkeeping, out DMA issue) against kernel code size.
+    `unroll` (0 = fully unrolled, round-3 behavior) caps the PYTHON
+    unroll: when 0 < unroll < group the kernel runs a fori_loop of
+    group//unroll iterations with `unroll` ROIs unrolled per body, so
+    group can grow past 8 at CONSTANT code size. Measured on-chip (r3):
+    fully-unrolled group=16 hit the remote-compile long-program
+    pathology (>15 min vs 107 s at group=8) — that is a code-size
+    limit, which `unroll` decouples from the grid-step count.
 
     `pooling='kron'` is INTERPRET-ONLY: real Mosaic rejects its
     weight-matrix build (`tpu.reshape vector<7x7x48x56> ->
@@ -399,7 +429,8 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
             return multilevel_roi_align_canvas(
                 list(fmaps), blk, scales, out_size=out_size,
                 sampling_ratio=sampling_ratio, min_level=min_level,
-                interpret=interpret, pooling=pooling, group=group)
+                interpret=interpret, pooling=pooling, group=group,
+                unroll=unroll)
 
         out = jax.lax.map(one_blk, blocks)
         out = jnp.swapaxes(out, 0, 1).reshape(
@@ -454,7 +485,7 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
     out = pl.pallas_call(
         _make_canvas_kernel(out_size, sampling_ratio, num_levels,
                             heights, x_off, group, n_chunks,
-                            pooling=pooling),
+                            pooling=pooling, unroll=unroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * rp, out_size, out_size, C),
                                        dt),

@@ -576,6 +576,38 @@ def test_canvas_roi_group_sizes_match(rng):
         np.testing.assert_array_equal(got, base)
 
 
+def test_canvas_roi_unroll_schedules_match(rng):
+    """unroll (fori_loop body width) is a pure performance knob — every
+    (group, unroll) schedule must produce identical results, including
+    padding (R=11 not divisible by any group) and the batched path."""
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [rng.standard_normal((128 >> i, 128 >> i, 8)
+                                 ).astype(np.float32) for i in range(4)]
+    scales = [0.25, 0.125, 0.0625, 0.03125]
+    rois = rng.uniform(0, 400, (11, 4)).astype(np.float32)
+    rois = np.concatenate([np.minimum(rois[:, :2], rois[:, 2:]),
+                           np.maximum(rois[:, :2], rois[:, 2:]) + 2],
+                          axis=-1)
+    base = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+        out_size=7, interpret=True, group=8))
+    for g, u in ((8, 2), (8, 4), (16, 4), (32, 8), (4, 4)):
+        got = np.asarray(multilevel_roi_align_canvas(
+            [jnp.asarray(f) for f in fmaps], jnp.asarray(rois), scales,
+            out_size=7, interpret=True, group=g, unroll=u))
+        np.testing.assert_array_equal(got, base)
+    # batched + unroll
+    bfm = [np.stack([f, f + 1.0]) for f in fmaps]
+    brois = np.stack([rois, rois[::-1]])
+    want = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in bfm], jnp.asarray(brois), scales,
+        out_size=7, interpret=True, group=8))
+    got = np.asarray(multilevel_roi_align_canvas(
+        [jnp.asarray(f) for f in bfm], jnp.asarray(brois), scales,
+        out_size=7, interpret=True, group=16, unroll=8))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_canvas_roi_fuzz_vs_xla_oracle(rng):
     """Randomized sweep of the TPU-default canvas kernel vs the XLA
     gather oracle: 400 random ROIs over a 512-frame pyramid, checked on
