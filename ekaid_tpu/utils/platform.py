@@ -32,17 +32,19 @@ def _host_fingerprint() -> str:
     return _platform.machine() or "unknown"
 
 
-def enable_compile_cache(path: str = "/tmp/ekaid_jaxcache") -> None:
+def enable_compile_cache(path: str = "/tmp/ekaid_jaxcache") -> str:
     """Persistent XLA compile cache. The axon remote-compile service
     takes minutes on the full decode program; caching makes repeat
     bench/serving launches pay it once per program, not per process.
     The directory is scoped by a host-CPU fingerprint (see
-    _host_fingerprint) so CPU AOT artifacts never cross machines."""
+    _host_fingerprint) so CPU AOT artifacts never cross machines.
+    Returns the cache directory."""
     import jax
 
     path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    return path
 
 
 def resolve_roi_backend(backend: str) -> str:

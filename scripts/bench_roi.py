@@ -45,6 +45,9 @@ def main():
                    help="canvas per-ROI pooling form (A/B)")
     p.add_argument("--group", type=int, default=8,
                    help="canvas ROIs per grid step (sweep)")
+    p.add_argument("--unroll", type=int, default=0,
+                   help="canvas ROIs unrolled per fori body (0 = all; "
+                        "group>8 needs unroll<=8 for compile size)")
     p.add_argument("--channels", type=int, default=256)
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
@@ -105,7 +108,7 @@ def main():
             ("pallas_canvas",
              lambda fm, b: multilevel_roi_align_canvas(
                  list(fm), b, scales, pooling=a.pooling,
-                 group=a.group))]:
+                 group=a.group, unroll=a.unroll))]:
         if a.only and a.only not in name:
             continue
         # fmaps MUST cross the jit boundary as arguments: a closure
