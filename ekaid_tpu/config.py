@@ -115,6 +115,14 @@ class SpeakerConfig:
     # for recompute FLOPs; outputs/grads are bitwise-identical choices
     # of schedule only. A/B'd in scripts/bench_train.py --remat.
     remat: str = "none"
+    # hoist the teacher-forcing scan's input-side matmuls (the
+    # loop-invariant fused @ mod.w_ih[:E] and all T word-embedding
+    # projections xt @ lang.w_ih[:W]) out of the scan: two fewer serial
+    # per-step matmuls and their weight-grad accumulators leave the
+    # 90-step backward carry. Same params, same math up to summation
+    # order (decoder.teacher_forcing). No effect on scheduled-sampling
+    # batches (inputs become output-dependent) or free-running decode.
+    train_hoist: bool = False
     # BOS token fed at step 0 of free-running decode. The reference primes
     # with index 2 (dynamic_speaker_change_pos.py:272,311) even though the
     # shipped vocab maps '<start>'->1; kept for parity.
@@ -365,6 +373,11 @@ def _coerce(value: Any, old: Any, full_key: str) -> Any:
         return value
     if isinstance(old, bool) and isinstance(value, int):
         return bool(value)
+    if (isinstance(old, bool) and isinstance(value, str)
+            and value.lower() in ("true", "false")):
+        # CLI spelling: `speaker.train_hoist true` — literal_eval only
+        # accepts Python's capitalized True/False
+        return value.lower() == "true"
     if isinstance(old, float) and isinstance(value, int):
         return float(value)
     if isinstance(old, str):

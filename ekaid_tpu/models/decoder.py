@@ -48,7 +48,8 @@ class DynamicCore(nn.Module):
 
     @nn.compact
     def __call__(self, xt, fused_embed, feats, state,
-                 drop_key: Optional[jax.Array] = None):
+                 drop_key: Optional[jax.Array] = None,
+                 mod_pre=None, lang_xt_pre=None):
         """
         xt:          [B, word_embed_size] current word embedding
         fused_embed: [B, embed_dim] — self.embed(cat[bef, diff, aft]),
@@ -56,6 +57,12 @@ class DynamicCore(nn.Module):
         feats:       [B, 3, input_dim] stacked (bef, diff, aft)
         state:       dict h_mod/c_mod/h_lang/c_lang each [B, rnn_size]
         drop_key:    per-step dropout key (None = eval)
+        mod_pre:     optional [B, 4R] = fused_embed @ mod.w_ih[:E],
+                     hoisted out of the scan by teacher_forcing
+                     (loop-invariant; speaker.train_hoist)
+        lang_xt_pre: optional [B, 4R] = xt @ lang.w_ih[:W], precomputed
+                     for all steps in one matmul under teacher forcing
+                     (xt is then ignored and may be None)
         """
         c = self.cfg
         cast = self.policy.cast_compute
@@ -63,10 +70,15 @@ class DynamicCore(nn.Module):
                 if drop_key is not None else [None] * 3)
 
         prev_h = state["h_lang"]
+        if mod_pre is None:
+            mod_x, mod_kw = (jnp.concatenate([fused_embed, prev_h],
+                                             axis=-1), {})
+        else:
+            mod_x = prev_h
+            mod_kw = {"pre": mod_pre, "pre_width": c.embed_dim}
         h_mod, c_mod = LSTMCell(c.rnn_size, policy=self.policy,
                                 name="module_att_lstm")(
-            jnp.concatenate([fused_embed, prev_h], axis=-1),
-            state["h_mod"], state["c_mod"])
+            mod_x, state["h_mod"], state["c_mod"], **mod_kw)
         module_weights = jax.nn.softmax(self.policy.cast_softmax(
             DenseT(3, policy=self.policy, name="weight_fc")(h_mod)), axis=-1)
 
@@ -90,10 +102,16 @@ class DynamicCore(nn.Module):
         gate = nn.sigmoid(DenseT(c.input_dim, policy=self.policy,
                                  name="gate2x")(gate_h))
 
+        if lang_xt_pre is None:
+            lang_x, lang_kw = (jnp.concatenate([xt, gate * att_feat],
+                                               axis=-1), {})
+        else:
+            lang_x = gate * att_feat
+            lang_kw = {"pre": lang_xt_pre,
+                       "pre_width": c.word_embed_size}
         h_lang, c_lang = LSTMCell(c.rnn_size, policy=self.policy,
                                   name="lang_lstm")(
-            jnp.concatenate([xt, gate * att_feat], axis=-1),
-            state["h_lang"], state["c_lang"])
+            lang_x, state["h_lang"], state["c_lang"], **lang_kw)
 
         new_state = {"h_mod": h_mod, "c_mod": c_mod,
                      "h_lang": h_lang, "c_lang": c_lang}
@@ -273,18 +291,57 @@ class DynamicSpeaker(nn.Module):
         state0 = self._init_state(B)
         tokens = jnp.swapaxes(seq[:, :T], 0, 1)          # [T, B]
 
+        # TPU-first scan-hoist (speaker.train_hoist, DOCUMENTED
+        # DEVIATION: summation order only): under teacher forcing
+        # every input token is known upfront and the fused embedding is
+        # loop-invariant, so (a) fused @ mod.w_ih[:E] is computed ONCE
+        # instead of per step, and (b) all T word embeddings + their
+        # lang.w_ih[:W] projections run as ONE [T·B] matmul outside the
+        # scan. This removes two of the serial per-step matmuls AND
+        # drops their weight-grad accumulators (~10.6 MB) from the
+        # 90-step backward carry — the train step is scan-serial-
+        # latency/HBM-bound (STATUS r3 item 5). Scheduled sampling
+        # makes inputs output-dependent, so SS batches keep the plain
+        # path. The reference recomputes everything per Python-loop
+        # step (dynamic_speaker_change_pos.py:196-222).
+        hoist = (getattr(c, "train_hoist", False) and not use_ss
+                 and not self.is_mutable_collection("params"))
+        if hoist:
+            cast = self.policy.cast_compute
+            cp = self.core.variables["params"]
+            dt = self.policy.compute_dtype
+            mod_pre = jnp.dot(
+                fused, cast(cp["module_att_lstm"]["w_ih"])[:c.embed_dim],
+                preferred_element_type=dt)
+            emb = nn.relu(cast(self.word_emb[tokens]))   # [T, B, W]
+            if train:
+                emb = jax.vmap(
+                    lambda x, kk: _drop(x, c.drop_prob_lm, kk[0])
+                )(emb, step_keys)
+            lang_pre = jnp.dot(
+                emb, cast(cp["lang_lstm"]["w_ih"])[:c.word_embed_size],
+                preferred_element_type=dt)               # [T, B, 4R]
+        else:
+            lang_pre = jnp.zeros((T,), jnp.int32)        # dummy scan input
+            mod_pre = None
+
         def step(carry, inp):
             state, prev_logp = carry
-            it, kk, ssk, i = inp
+            it, kk, ssk, i, lpre = inp
             if use_ss:
                 sample = jax.random.categorical(ssk[0], prev_logp,
                                                 axis=-1).astype(it.dtype)
                 coin = jax.random.uniform(ssk[1], (B,))
                 it = jnp.where((coin < ss_prob) & (i >= 1), sample, it)
             k = [kk[j] for j in range(3)] if train else [None] * 3
-            xt = self._embed_word(it, k[0])
-            h_lang, state, dpos, mw = self.core(xt, fused, feats, state,
-                                                drop_key=k[1])
+            if hoist:
+                h_lang, state, dpos, mw = self.core(
+                    None, fused, feats, state, drop_key=k[1],
+                    mod_pre=mod_pre, lang_xt_pre=lpre)
+            else:
+                xt = self._embed_word(it, k[0])
+                h_lang, state, dpos, mw = self.core(xt, fused, feats,
+                                                    state, drop_key=k[1])
             logp, logp_pos = self._out_logprobs(h_lang, dpos, k[2])
             return (state, logp), (logp, logp_pos, mw)
 
@@ -295,7 +352,8 @@ class DynamicSpeaker(nn.Module):
             # init trace: one eager step materializes every parameter
             (_, _), (logp, logp_pos, mw) = step(
                 (state0, prev_logp0),
-                (tokens[0], step_keys[0], ss_keys[0], idx[0]))
+                (tokens[0], step_keys[0], ss_keys[0], idx[0],
+                 lang_pre[0]))
             logps = jnp.broadcast_to(logp[:, None], (B, T) + logp.shape[1:])
             logps_pos = jnp.broadcast_to(logp_pos[:, None],
                                          (B, T) + logp_pos.shape[1:])
@@ -313,7 +371,8 @@ class DynamicSpeaker(nn.Module):
                 scan_step = jax.checkpoint(step, policy=pol)
             _, (logps, logps_pos, mws) = jax.lax.scan(
                 scan_step, (state0, prev_logp0), (tokens, step_keys,
-                                                  ss_keys, idx),
+                                                  ss_keys, idx,
+                                                  lang_pre),
                 unroll=c.scan_unroll)
             logps = jnp.swapaxes(logps, 0, 1)            # [B, T, vocab]
             logps_pos = jnp.swapaxes(logps_pos, 0, 1)

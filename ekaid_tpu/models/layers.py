@@ -138,8 +138,15 @@ class LSTMCell(nn.Module):
     policy: Policy = F32
 
     @nn.compact
-    def __call__(self, x, h, c):
-        in_dim = x.shape[-1]
+    def __call__(self, x, h, c, pre=None, pre_width: int = 0):
+        """pre/pre_width: optional precomputed input projection — `pre`
+        [B, 4H] is the contribution of the FIRST `pre_width` rows of
+        w_ih (x then carries only the remaining features). Lets a
+        caller hoist loop-invariant or teacher-forced input matmuls out
+        of a scan (decoder.teacher_forcing train_hoist); same math up
+        to summation order. Param shapes are unchanged — `pre_width`
+        only offsets the w_ih row slice."""
+        in_dim = x.shape[-1] + pre_width
         w_ih = self.param("w_ih", torch_uniform_init(self.hidden),
                           (in_dim, 4 * self.hidden), self.policy.param_dtype)
         w_hh = self.param("w_hh", torch_uniform_init(self.hidden),
@@ -148,8 +155,11 @@ class LSTMCell(nn.Module):
         b = self.param("b", torch_uniform_init(self.hidden),
                        (4 * self.hidden,), self.policy.param_dtype)
         cast = self.policy.cast_compute
-        z = (jnp.dot(cast(x), cast(w_ih),
+        xw = jnp.dot(cast(x), cast(w_ih)[pre_width:],
                      preferred_element_type=self.policy.compute_dtype)
+        if pre is not None:
+            xw = xw + pre
+        z = (xw
              + jnp.dot(cast(h), cast(w_hh),
                        preferred_element_type=self.policy.compute_dtype)
              + cast(b))

@@ -86,18 +86,46 @@ class InferenceEngine:
                                    sample_max=True)
 
             self._decode = decode1
+        # device-resident sample cache (see _dev_sample) — must exist
+        # before the warm-up call below
+        from collections import OrderedDict
+        self._dev_cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._dev_cache_cap = 64
         # warm the compile with the first sample — explicitly the base
         # path: a subclass override (CoalescingEngine) is not wired up
         # until after this constructor returns
         InferenceEngine.answer(self, None)
 
+    def _dev_sample(self, index: int) -> dict:
+        """Device-resident sample (feats/adjacency/labels + the pair's
+        stored question), uploaded ONCE per index and LRU-cached.
+
+        TPU-first: a /question request re-uses ~0.6 MB of features that
+        never change between questions about the same study pair — only
+        the ~80-byte token row differs. Re-shipping the full payload per
+        dispatch made coalesced batches H2D-bound on slow links (r4
+        load test: 16-slot batches at ~10 MB each lost 2.9x to batch-1).
+        The reference rebuilds the full torch batch per request
+        (demo_server.py:49-61,235)."""
+        hit = self._dev_cache.get(index)
+        if hit is None:
+            s = self.ds.sample(index)
+            hit = {k: jnp.asarray(np.asarray(v)[None])
+                   for k, v in s.items() if k != "pair_index"}
+            self._dev_cache[index] = hit
+            while len(self._dev_cache) > self._dev_cache_cap:
+                self._dev_cache.popitem(last=False)
+        else:
+            self._dev_cache.move_to_end(index)
+        return hit
+
     def _batch_for(self, index: int, question_ids: Optional[np.ndarray]):
-        s = self.ds.sample(index)
+        batch = self._dev_sample(index)
         if question_ids is not None:
-            s = dict(s)
-            s["question"] = question_ids.astype(s["question"].dtype)
-        batch = {k: jnp.asarray(v[None]) for k, v in s.items()
-                 if k != "pair_index"}
+            batch = dict(batch)
+            # the question row is the only per-request upload
+            batch["question"] = jnp.asarray(
+                question_ids.astype(np.int32)[None])
         return batch
 
     def question_to_ids(self, text: str) -> np.ndarray:

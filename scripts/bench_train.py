@@ -52,6 +52,11 @@ def main():
                    choices=["none", "dots", "full"],
                    help="speaker.remat policy for the decode scan "
                         "backward (VERDICT r2 do #5)")
+    p.add_argument("--hoist", action="store_true",
+                   help="speaker.train_hoist: hoist the teacher-forcing "
+                        "scan's input-side matmuls (loop-invariant "
+                        "fused@w_ih + all-T word-embed projections) out "
+                        "of the 90-step serial loop")
     p.add_argument("--stages", action="store_true",
                    help="also time fwd-only and fwd+bwd sub-programs "
                         "and print their XLA flops/bytes rooflines")
@@ -89,6 +94,8 @@ def main():
             scan_unroll=a.unroll))
     if a.remat != "none":
         cfg = cfg.replace(speaker=cfg.speaker.replace(remat=a.remat))
+    if a.hoist:
+        cfg = cfg.replace(speaker=cfg.speaker.replace(train_hoist=True))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
     tx = make_optimizer(cfg.train.optim)
@@ -149,6 +156,7 @@ def main():
                                / V5E_BF16_PEAK, 2)
     rec["remat"] = cfg.speaker.remat
     rec["accum"] = a.accum
+    rec["hoist"] = bool(a.hoist)
     print(json.dumps(rec))
 
     if a.stages:

@@ -47,6 +47,8 @@ def test_merge_from_list_coercion():
         "train.length_buckets", "[24, 48]",     # list literal -> tuple
         "speaker.remat", "dots",                # plain string stays
         "detector.stride_in_1x1", "1",          # int -> bool
+        "speaker.train_hoist", "true",          # lowercase bool spelling
+        "speaker.fused_core", "False",          # literal_eval bool
     ])
     assert cfg.train.max_iter == 123
     assert cfg.train.optim.lr == pytest.approx(3e-4)
@@ -54,6 +56,8 @@ def test_merge_from_list_coercion():
     assert cfg.train.length_buckets == (24, 48)
     assert cfg.speaker.remat == "dots"
     assert cfg.detector.stride_in_1x1 is True
+    assert cfg.speaker.train_hoist is True
+    assert cfg.speaker.fused_core is False
 
 
 def test_merge_from_list_rejects_odd_pairs():

@@ -695,6 +695,53 @@ def test_length_bucket_trim_is_loss_and_grad_identical():
     assert np.isfinite(float(lf2)) and np.isfinite(float(lt2))
 
 
+def test_train_hoist_matches_plain_scan():
+    """speaker.train_hoist (input-side matmuls hoisted out of the
+    teacher-forcing scan) must match the plain path: same params, same
+    dropout keys -> same masks; only matmul summation order differs
+    (fused@w_ih[:E] + h@w_ih[E:] vs concat@w_ih), so f32 allclose."""
+    cfg = tiny_config()
+    cfg_h = cfg.replace(speaker=cfg.speaker.replace(train_hoist=True))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 3, seed=5))
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    model_h = EkaidModel(cfg_h, ntoken=NTOKEN, policy=F32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+
+    def loss_fn(m):
+        def f(p, b, train):
+            out = m.apply(p, b, train=train,
+                          rngs={"dropout": jax.random.PRNGKey(2)}
+                          if train else None)
+            return total_loss(out, b, cfg.train.att_reg_weight)[0]
+        return f
+
+    # eval-mode (dropout off)
+    l0, g0 = jax.value_and_grad(loss_fn(model))(params, batch, False)
+    l1, g1 = jax.value_and_grad(loss_fn(model_h))(params, batch, False)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=2e-4, atol=2e-6)
+
+    # train-mode: identical dropout key schedule -> same masks
+    l0t, g0t = jax.value_and_grad(loss_fn(model))(params, batch, True)
+    l1t, g1t = jax.value_and_grad(loss_fn(model_h))(params, batch, True)
+    np.testing.assert_allclose(float(l1t), float(l0t), rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(g0t), jax.tree.leaves(g1t)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=2e-4, atol=2e-6)
+
+    # scheduled sampling forces the plain path (inputs become
+    # output-dependent): must still run and stay finite
+    out = model_h.apply(params, batch, train=True, ss_prob=0.5,
+                        rngs={"dropout": jax.random.PRNGKey(2),
+                              "sample": jax.random.PRNGKey(3)})
+    l_ss = total_loss(out, batch, cfg.train.att_reg_weight)[0]
+    assert np.isfinite(float(l_ss))
+
+
 def test_length_bucket_selection():
     from ekaid_tpu.data.pipeline import trim_batch_to_bucket
 
