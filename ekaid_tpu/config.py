@@ -175,6 +175,12 @@ class DataConfig:
     num_workers: int = -1        # loader threads; -1 = min(4, cpu_count)
                                  # (reference pins 0, yaml:30; we prefetch)
     prefetch: int = 2
+    # eval/decode host->device wire dtypes: "compact" ships features as
+    # f16 and adjacency labels as int8 (2.3x fewer bytes — see
+    # data/pipeline.py compact_wire); the decode loop is transfer-bound
+    # on any host. "f32" is the reference-parity wide wire. Training
+    # batches always ship full-width.
+    eval_wire: str = "f32"
     train: SplitDataConfig = field(default_factory=SplitDataConfig)
     val: SplitDataConfig = field(
         default_factory=lambda: SplitDataConfig(batch_size=64))

@@ -399,6 +399,36 @@ def _collate(samples) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+#: minimal host->device wire dtypes (compact_wire). Features ship as
+#: f16 — the model casts every input to its compute dtype (bf16 on TPU)
+#: at first use, so f32 wire precision never reaches a matmul; the
+#: f16->bf16 conversion is the only rounding added. Adjacency LABELS
+#: (spatial 1..11, semantic 1..3) fit int8 and broadcast_adjacency
+#: upcasts to int32 before the one-hot (ops/graph.py:180). Boxes stay
+#: f32: position_matrix takes log-ratios of raw coordinates, and int8/
+#: f16 boxes would add up to ~4 px quantization.
+_WIRE_COMPACT = {
+    "d_feats": np.float16, "q_feats": np.float16,
+    "d_adj": np.int8, "q_adj": np.int8,
+    "d_sem_adj": np.int8, "q_sem_adj": np.int8,
+}
+
+
+def compact_wire(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Cast a host batch to minimal wire dtypes for the eval/serving
+    H2D path (2.3x fewer bytes: ~590 KB -> ~256 KB per pair at
+    flagship dims). DOCUMENTED DEVIATION from the reference's f32/int64
+    tensors (rcc_dataset_pos_mimic.py:240-268): greedy decode is wire-
+    bound on any host (the r4 on-chip e2e measured 91 pairs/s against
+    a 10.6k pairs/s device rate), and the compute path reads bf16
+    either way. Training keeps full-width wire (gradient parity)."""
+    out = dict(batch)
+    for k, dt in _WIRE_COMPACT.items():
+        if k in out:
+            out[k] = np.asarray(out[k]).astype(dt, copy=False)
+    return out
+
+
 class Loader:
     """Threaded prefetching batch iterator."""
 
@@ -406,7 +436,8 @@ class Loader:
                  = None, shuffle: bool = False, seed: int = 0,
                  drop_remainder: bool = True, pad_final: bool = False,
                  num_threads: Optional[int] = None, prefetch: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 wire: str = "f32"):
         """pad_final=True keeps the remainder batch, padded to batch_size
         by repeating its last row — batch shape stays jit-stable and
         duplicate pair_index rows collapse in the predictions dict.
@@ -415,7 +446,13 @@ class Loader:
         iterates a disjoint 1-in-num_shards slice of every epoch's
         (identically shuffled) order, so a jax.distributed pod feeds its
         per-host batch without coordination. Defaults are single-host.
+
+        wire="compact" casts batches to minimal H2D dtypes in the
+        worker threads (see compact_wire) — for decode/eval paths,
+        which are transfer-bound.
         """
+        assert wire in ("f32", "compact"), wire
+        self.wire = wire
         self.ds = dataset
         self.batch_size = batch_size or dataset.batch_size
         self.shuffle = shuffle
@@ -510,7 +547,10 @@ class Loader:
                 if stop.is_set():
                     return
                 try:
-                    item = ("ok", ds.sample_batch(batches[bi]))
+                    b = ds.sample_batch(batches[bi])
+                    if self.wire == "compact":
+                        b = compact_wire(b)
+                    item = ("ok", b)
                 except Exception as e:          # surface in the consumer
                     item = ("error", e)
                 while not stop.is_set():

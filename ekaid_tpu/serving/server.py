@@ -110,6 +110,12 @@ class InferenceEngine:
         hit = self._dev_cache.get(index)
         if hit is None:
             s = self.ds.sample(index)
+            if self.artifact is None:
+                # minimal wire dtypes for the one-time upload (the
+                # model casts at entry); artifact executables were
+                # exported against the full-width input signature
+                from ekaid_tpu.data.pipeline import compact_wire
+                s = compact_wire(s)
             hit = {k: jnp.asarray(np.asarray(v)[None])
                    for k, v in s.items() if k != "pair_index"}
             self._dev_cache[index] = hit
@@ -254,6 +260,18 @@ class CoalescingEngine(InferenceEngine):
                                    sample_max=True)
 
             self._decode_n = decode_n
+
+        @jax.jit
+        def stack_rows(rows, questions):
+            # device-side batch assembly for _stack: concat the cached
+            # [1, ...] sample rows, then overwrite the question block
+            # (the only per-request payload)
+            batch = {k: jnp.concatenate([r[k] for r in rows], axis=0)
+                     for k in rows[0]}
+            batch["question"] = questions
+            return batch
+
+        self._stack_jit = stack_rows
         # per-device param copies (serving params are immutable); warm
         # each device's bucket program once at startup (cached across
         # runs by the persistent compile cache)
@@ -285,19 +303,26 @@ class CoalescingEngine(InferenceEngine):
 
     def _stack(self, items):
         """items: [(index, qids-or-None)] → padded device batch of size
-        coalesce_batch (pad rows repeat item 0; static shapes)."""
-        rows = []
+        coalesce_batch (pad rows repeat item 0; static shapes).
+
+        TPU-first: rows come from the device-resident LRU
+        (`_dev_sample`) and are concatenated ON DEVICE by one jitted
+        program — the only host→device bytes per dispatch are the
+        [B, T] question rows (~KB). The first r4 load test shipped the
+        full padded feature batch (~10 MB) per dispatch and lost 2.9x
+        to batch-1 on the bandwidth-starved relay; the reference
+        rebuilds the whole torch batch per request
+        (demo_server.py:49-61,235)."""
+        rows, qrows = [], []
         for idx, qids in items:
-            s = self.ds.sample(idx)
-            if qids is not None:
-                s = dict(s)
-                s["question"] = qids.astype(s["question"].dtype)
-            rows.append({k: v for k, v in s.items()
-                         if k != "pair_index"})
+            rows.append(self._dev_sample(idx))
+            qrows.append(qids if qids is not None
+                         else np.asarray(self.ds.questions[idx]))
         while len(rows) < self.coalesce_batch:
             rows.append(rows[0])
-        return {k: jnp.asarray(np.stack([r[k] for r in rows]))
-                for k in rows[0]}
+            qrows.append(qrows[0])
+        questions = np.stack(qrows).astype(np.int32)
+        return self._stack_jit(tuple(rows), jnp.asarray(questions))
 
     def _dispatch(self):
         """Folding loop with backpressure: collect up to coalesce_batch

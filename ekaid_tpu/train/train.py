@@ -263,7 +263,8 @@ class Trainer:
                 st.params, b, method="decode_beam", beam_size=beam_size))
         loader = Loader(self.eval_ds, shuffle=False, pad_final=True,
                         num_threads=self.cfg.data.num_workers,
-                        prefetch=self.cfg.data.prefetch)
+                        prefetch=self.cfg.data.prefetch,
+                        wire=getattr(self.cfg.data, "eval_wire", "f32"))
         predictions: Dict[str, str] = {}
 
         def flush(pair_index, out):

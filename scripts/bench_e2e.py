@@ -36,7 +36,8 @@ from bench_loader import ensure_fixture, fixture_dataset  # noqa: E402
 
 def run_e2e(batch_size: int = 64, pairs: int = 1664,
             images: int = 512, threads: int = -1,
-            h5_path: str = "/tmp/bench_loader_feats.hdf5") -> dict:
+            h5_path: str = "/tmp/bench_loader_feats.hdf5",
+            wire: str = "compact") -> dict:
     """Returns {'e2e_pairs_per_sec': ..., ...}. Call with the device
     already claimed by this process (bench.py) or standalone."""
     import jax
@@ -56,7 +57,8 @@ def run_e2e(batch_size: int = 64, pairs: int = 1664,
     if threads < 0:
         threads = cfg.data.num_workers
     loader = Loader(ds, batch_size=batch_size, shuffle=True, seed=0,
-                    num_threads=threads, prefetch=cfg.data.prefetch)
+                    num_threads=threads, prefetch=cfg.data.prefetch,
+                    wire=wire)
 
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
@@ -99,7 +101,7 @@ def run_e2e(batch_size: int = 64, pairs: int = 1664,
     return {
         "e2e_pairs_per_sec": round(n / dt, 1),
         "pairs": n, "sentences": n_sent, "batch": batch_size,
-        "loader_threads": threads,
+        "wire": wire, "loader_threads": threads,
         "platform": _jax.devices()[0].platform,
         "seconds": round(dt, 2),
         "note": ("loader->decode->detokenize overlapped; every batch's "
@@ -113,6 +115,10 @@ def main():
     p.add_argument("--pairs", type=int, default=1664)
     p.add_argument("--images", type=int, default=512)
     p.add_argument("--threads", type=int, default=-1)
+    p.add_argument("--wire", default="both",
+                   choices=["f32", "compact", "both"],
+                   help="H2D wire dtypes (data/pipeline.py compact_wire)"
+                        "; 'both' prints one row per mode (A/B)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -125,8 +131,10 @@ def main():
         sys.exit(1)
     from ekaid_tpu.utils.platform import enable_compile_cache
     enable_compile_cache()
-    print(json.dumps(run_e2e(a.batch, a.pairs, a.images, a.threads)),
-          flush=True)
+    modes = ["f32", "compact"] if a.wire == "both" else [a.wire]
+    for wire in modes:
+        print(json.dumps(run_e2e(a.batch, a.pairs, a.images, a.threads,
+                                 wire=wire)), flush=True)
 
 
 if __name__ == "__main__":

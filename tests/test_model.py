@@ -695,6 +695,27 @@ def test_length_bucket_trim_is_loss_and_grad_identical():
     assert np.isfinite(float(lf2)) and np.isfinite(float(lt2))
 
 
+def test_decode_accepts_compact_wire(setup):
+    """The compact H2D wire (f16 feats, int8 adjacency —
+    data/pipeline.compact_wire) must flow through the full decode: the
+    one-hot adjacency is bit-identical, so only feature rounding to the
+    f16 grid can perturb logits."""
+    from ekaid_tpu.data.pipeline import compact_wire
+    cfg, model, batch, params = setup
+    host = jax.tree.map(np.asarray, batch)
+    compact = jax.tree.map(jnp.asarray, compact_wire(host))
+    out_w = model.apply(params, batch, method="decode", sample_max=True)
+    out_c = model.apply(params, compact, method="decode", sample_max=True)
+    assert out_c["seq"].shape == out_w["seq"].shape
+    assert int(jnp.max(out_c["seq"])) < VOCAB
+    # encoder features agree to f16 rounding
+    enc_w = model.apply(params, batch, method="encode")
+    enc_c = model.apply(params, compact, method="encode")
+    np.testing.assert_allclose(np.asarray(enc_c["feat_diff"]),
+                               np.asarray(enc_w["feat_diff"]),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_train_hoist_matches_plain_scan():
     """speaker.train_hoist (input-side matmuls hoisted out of the
     teacher-forcing scan) must match the plain path: same params, same

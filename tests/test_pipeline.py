@@ -83,6 +83,39 @@ def test_loader_batching_and_shuffle():
                                   b1b[0]["pair_index"])
 
 
+def test_loader_compact_wire():
+    """wire='compact' ships f16 features + int8 adjacency labels with
+    values identical after upcast (compact_wire is dtype-only: label
+    matrices are small ints, features round to the f16 grid); the
+    model's decode accepts the compact batch and its adjacency one-hot
+    is bit-identical to the int32 wire."""
+    import jax
+    import jax.numpy as jnp
+    from ekaid_tpu.data.pipeline import compact_wire
+    from ekaid_tpu.ops.graph import broadcast_adjacency
+
+    cfg = small_cfg()
+    ds = synthetic_dataset(cfg, "train", n_pairs=16)
+    wide = next(iter(Loader(ds, batch_size=4, shuffle=False)))
+    compact = next(iter(Loader(ds, batch_size=4, shuffle=False,
+                               wire="compact")))
+    assert compact["d_feats"].dtype == np.float16
+    assert compact["d_adj"].dtype == np.int8
+    assert compact["d_sem_adj"].dtype == np.int8
+    assert compact["d_bb"].dtype == np.float32          # boxes stay wide
+    np.testing.assert_array_equal(compact["d_adj"].astype(np.int32),
+                                  wide["d_adj"])
+    np.testing.assert_allclose(compact["d_feats"].astype(np.float32),
+                               wide["d_feats"], rtol=1e-3, atol=1e-3)
+    # the one-hot broadcast is exact regardless of label wire dtype
+    oh8 = broadcast_adjacency(jnp.asarray(compact["d_adj"]), 11, 8)
+    oh32 = broadcast_adjacency(jnp.asarray(wide["d_adj"]), 11, 8)
+    np.testing.assert_array_equal(np.asarray(oh8), np.asarray(oh32))
+    # standalone compact_wire is idempotent and preserves extra keys
+    again = compact_wire(compact)
+    assert set(again) == set(compact)
+
+
 def test_loader_covers_all_indices_once():
     cfg = small_cfg()
     ds = synthetic_dataset(cfg, "train", n_pairs=40)
