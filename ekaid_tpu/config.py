@@ -273,6 +273,13 @@ class DetectorConfig:
     roi_feat_dim: int = 1024
     pre_nms_topk: int = 1000
     post_nms_topk: int = 1000
+    # extraction-only proposal budget: pool/classify only the top-N
+    # post-NMS proposals in `extract` (0 = all post_nms_topk, the
+    # reference setting). Proposals arrive score-sorted, so N>0 is
+    # exactly post_nms_topk=N for the extract path — a measured
+    # speed/recall knob (the canvas ROIAlign and select tail scale
+    # ~linearly in proposal count; see scripts/bench_extract_stages).
+    extract_topk: int = 0
     nms_thresh: float = 0.5
     score_thresh: float = 0.0
     proposals_per_image: int = 1000
@@ -294,9 +301,12 @@ class DetectorConfig:
     # stem 7×7/s2 conv computed as an exactly-equivalent 4×4/s1 conv on
     # a 2×2 space-to-depth input (the MLPerf-ResNet TPU stem rewrite —
     # C_in=3 underfills the MXU contraction lanes). Pure perf knob:
-    # same params, same outputs (tests/test_detector_model.py); applies
-    # to training AND inference. Default off pending on-chip A/B.
-    s2d_stem: bool = False
+    # same params, same outputs (tests/test_detector.py::
+    # test_s2d_stem_is_exact); applies to training AND inference.
+    # On-chip A/B (r4 queue, ext_stages_s2d): extract b8 66.7 ms vs
+    # 69.6 baseline (+4.3%), backbone stage 30.5 vs 32.0 — an exact
+    # rewrite that never loses, so default ON.
+    s2d_stem: bool = True
     # input normalization applied ON-DEVICE by the extraction fns:
     # 'unit' = RGB in [0,1] (the from-scratch training convention);
     # 'detectron2' = caffe-BGR 0-255 mean-subtracted (zoo R50-FPN

@@ -24,7 +24,8 @@ from ekaid_tpu.models.detector.heads import (BoxHead, decode_roi_boxes,
                                              roi_loss, sample_proposals)
 from ekaid_tpu.models.detector.rpn import (RPNHead, generate_proposals,
                                            rpn_loss)
-from ekaid_tpu.ops.nms import fast_rcnn_nms, top1_per_class
+from ekaid_tpu.ops.nms import (fast_rcnn_nms, select_top1_per_class,
+                               top1_per_class)
 from ekaid_tpu.utils.dtypes import Policy, F32
 
 FPN_SCALES = (0.25, 0.125, 0.0625, 0.03125)      # p2..p5
@@ -98,9 +99,32 @@ class FasterRCNN(nn.Module):
         Returns per image: features [K, fc_dim], boxes [K, 4],
         classes [K] (==arange when found), found [K] bool.
         """
-        out = self(images, train=False)
+        et = getattr(self.cfg, "extract_topk", 0)
+        if et and et < self.cfg.post_nms_topk:
+            # measured speed knob: pool only the top-`et` proposals.
+            # generate_proposals returns boxes in descending-score
+            # order (batched_nms contract), so the slice keeps exactly
+            # the `et` best NMS survivors — identical to running with
+            # post_nms_topk=et. ROIAlign + box head + selection all
+            # scale ~linearly in R (canvas kernel is per-ROI-bound:
+            # r4b roi sweep). Default 0 keeps the reference's 1000
+            # (get_bbox_id.py / Detectron2 test topk).
+            pyramid = self._features(images)
+            _, (boxes, scores, valid) = self._proposals(pyramid,
+                                                        train=False)
+            boxes = boxes[:, :et]
+            valid = valid[:, :et]
+            feats, cls_scores, box_deltas = self.box_head(
+                pyramid[:4], boxes, FPN_SCALES)
+            out = {"proposals": boxes, "proposal_scores": scores[:, :et],
+                   "proposal_valid": valid, "roi_features": feats,
+                   "cls_scores": cls_scores, "box_deltas": box_deltas}
+        else:
+            out = self(images, train=False)
         k = self.num_classes
-        pre = min(100, self.cfg.post_nms_topk)    # pre_extract_num (:536)
+        # pre_extract_num (:536), capped at the effective proposal
+        # budget so extract_topk=N is bit-identical to post_nms_topk=N
+        pre = min(100, et or self.cfg.post_nms_topk)
 
         def per_image(cls_scores, box_deltas, proposals, valid, feats):
             probs = jax.nn.softmax(
@@ -109,16 +133,18 @@ class FasterRCNN(nn.Module):
             probs = jnp.where(valid[:, None], probs, 0.0)
             dec = decode_roi_boxes(box_deltas, proposals,
                                    self.cfg.image_size)
-            det = fast_rcnn_nms(dec, probs,
-                                iou_thresh=self.cfg.nms_thresh,
-                                score_thresh=self.cfg.score_thresh,
-                                max_out=pre)
-            slot, found = top1_per_class(det["class_idx"], det["valid"], k)
-            sel_boxes = jnp.where(found[:, None], det["boxes"][slot], 0.0)
+            # fused top-1-per-class selection: no [R*K] top_k sort, no
+            # top-`pre` list materialization (exact-equivalent to
+            # fast_rcnn_nms + top1_per_class — see
+            # ops/nms.py::select_top1_per_class; the old composition is
+            # kept as the oracle in tests/test_detector_ops.py)
+            rows, found, sel_scores = select_top1_per_class(
+                dec, probs, iou_thresh=self.cfg.nms_thresh,
+                score_thresh=self.cfg.score_thresh, pre=pre)
+            sel_boxes = jnp.where(
+                found[:, None], dec[rows, jnp.arange(k)], 0.0)
             sel_feat = jnp.where(
-                found[:, None],
-                feats[det["proposal_idx"][slot]].astype(jnp.float32), 0.0)
-            sel_scores = jnp.where(found, det["scores"][slot], 0.0)
+                found[:, None], feats[rows].astype(jnp.float32), 0.0)
             return sel_feat, sel_boxes, sel_scores, found
 
         feat, boxes, scores, found = jax.vmap(per_image)(

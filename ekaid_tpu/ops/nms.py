@@ -221,6 +221,56 @@ def fast_rcnn_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     }
 
 
+def select_top1_per_class(boxes: jnp.ndarray, scores: jnp.ndarray,
+                          iou_thresh: float = 0.5,
+                          score_thresh: float = 0.0,
+                          pre: int = 100
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                     jnp.ndarray]:
+    """Fused anatomy selection: per-class best NMS survivor + the
+    reference's pre_extract_num rank cap, WITHOUT materializing the
+    top-`pre` detection list.
+
+    Exactly equivalent (tie order included) to
+    `fast_rcnn_nms(...)` + `top1_per_class(...)`: the first kept slot
+    of class c in the score-sorted top-`pre` IS the per-class argmax of
+    the surviving scores, present iff its global rank (flat row-major
+    (proposal, class) tie order — jax.lax.top_k's order) is < `pre`.
+    TPU-first: replaces a [R*K] top_k sort + [pre]-wide box/score/index
+    gathers (the ~2.5-5.6 ms `convert_reduce_fusion`/`fusion` tail in
+    the r4 extract profile) with two [R, K] reductions and one [K, R*K]
+    comparison — no sort, no gather. Equivalence pinned by
+    tests/test_detector_ops.py::test_select_top1_direct_equivalence.
+    Reference semantics: ana_bbox_generator.py:557-600.
+
+    boxes:  [R, K, 4] decoded+clipped class-specific boxes
+    scores: [R, K+1] softmax probs (background column dropped)
+    Returns (rows [K] int32 — proposal row per class, found [K] bool,
+    sel_scores [K] f32).
+    """
+    r, k = scores.shape[0], scores.shape[1] - 1
+    cls_scores = scores[:, :k]
+    masked = jnp.where(cls_scores > score_thresh, cls_scores, NEG)
+    surv = jax.vmap(
+        lambda b, s: _survivor_mask(b, s, iou_thresh))(
+            boxes.transpose(1, 0, 2), masked.T)         # [K, R]
+    sel = jnp.where(surv.T & (masked > NEG / 2), masked, NEG)  # [R, K]
+    best_row = jnp.argmax(sel, axis=0).astype(jnp.int32)       # [K]
+    best_val = jnp.max(sel, axis=0)                            # [K]
+    found = best_val > NEG / 2
+    # rank in jax.lax.top_k's flat order: strictly-greater entries plus
+    # equal entries at a smaller flat (row-major) index
+    flat = sel.reshape(-1)
+    flat_idx = jnp.arange(r * k)
+    best_flat = best_row * k + jnp.arange(k)
+    gt = flat[None, :] > best_val[:, None]                    # [K, R*K]
+    eq = ((flat[None, :] == best_val[:, None])
+          & (flat_idx[None, :] < best_flat[:, None]))
+    rank = jnp.sum(gt | eq, axis=1)
+    found = found & (rank < pre)
+    return best_row, found, jnp.where(found, best_val, 0.0)
+
+
 def top1_per_class(class_idx: jnp.ndarray, valid: jnp.ndarray,
                    num_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """For each class c, the first kept slot with that class

@@ -43,7 +43,11 @@ def main():
                    help="backbone norm (frozen_bn = the converted-"
                         "checkpoint deployment path)")
     p.add_argument("--s2d", action="store_true",
-                   help="space-to-depth stem rewrite (A/B)")
+                   help="space-to-depth stem rewrite (A/B; now the "
+                        "default — kept for record replay)")
+    p.add_argument("--extract_topk", type=int, default=0,
+                   help="extraction proposal budget (0 = all "
+                        "post_nms_topk; detector.extract_topk A/B)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -73,6 +77,9 @@ def main():
         cfg = cfg.replace(detector=cfg.detector.replace(norm=a.norm))
     if a.s2d:
         cfg = cfg.replace(detector=cfg.detector.replace(s2d_stem=True))
+    if a.extract_topk:
+        cfg = cfg.replace(detector=cfg.detector.replace(
+            extract_topk=a.extract_topk))
     det = cfg.detector
     rng = np.random.default_rng(0)
 
@@ -118,6 +125,7 @@ def main():
         dt, _fixed = _slope_time(chain, 2, 2 + a.iters)
         rec = {"batch": b, "platform": platform,
                "norm": cfg.detector.norm,
+               "extract_topk": det.extract_topk,
                "image_size": det.image_size,
                "images_per_sec": round(b / dt, 2),
                "ms_per_image": round(dt * 1e3 / b, 2),

@@ -88,6 +88,37 @@ def test_extract_contract(setup):
                 assert (boxes[b, k] == 0).all()
 
 
+def test_extract_topk_budget(setup):
+    """extract_topk=N slices the score-sorted proposals: at
+    N == post_nms_topk the outputs are identical to the default path
+    (proposals are already sorted — the slice is the whole set); at a
+    smaller N the contract holds and every found class's selection is a
+    member of the full run's top-N proposal rows."""
+    cfg, model, images, params = setup
+    out_full = model.apply(params, images, method="extract")
+    model_eq = type(model)(cfg.replace(extract_topk=cfg.post_nms_topk),
+                           num_classes=K, policy=F32)
+    out_eq = model_eq.apply(params, images, method="extract")
+    for key in ("features", "boxes", "scores", "classes", "found"):
+        np.testing.assert_array_equal(np.asarray(out_eq[key]),
+                                      np.asarray(out_full[key]),
+                                      err_msg=key)
+    # extract_topk=N must be bit-identical to post_nms_topk=N: the
+    # proposals are score-sorted, so the top-N slice IS the post=N
+    # survivor list, and `pre` follows the effective budget
+    model_small = type(model)(cfg.replace(extract_topk=10),
+                              num_classes=K, policy=F32)
+    out_small = model_small.apply(params, images, method="extract")
+    assert out_small["features"].shape == out_full["features"].shape
+    model_post10 = type(model)(cfg.replace(post_nms_topk=10),
+                               num_classes=K, policy=F32)
+    out_post10 = model_post10.apply(params, images, method="extract")
+    for key in ("features", "boxes", "scores", "classes", "found"):
+        np.testing.assert_array_equal(np.asarray(out_small[key]),
+                                      np.asarray(out_post10[key]),
+                                      err_msg=key)
+
+
 def test_losses_finite_and_differentiable(setup):
     cfg, model, images, params = setup
     g = 3

@@ -146,6 +146,47 @@ def test_top1_per_class():
     assert found[0] and found[2]
 
 
+def test_select_top1_direct_equivalence(rng):
+    """select_top1_per_class (fused, sort-free) must reproduce the
+    fast_rcnn_nms + top1_per_class composition exactly — rows, found
+    set, scores — including the pre_extract_num rank cap and flat-index
+    tie order, across many random score tables (with forced exact-tie
+    duplicates)."""
+    from ekaid_tpu.ops.nms import select_top1_per_class
+    for seed in range(12):
+        r2 = np.random.default_rng(seed)
+        r, k = 64, 6
+        pre = 8 if seed % 3 == 0 else 30   # exercise the rank cap hard
+        boxes = np.stack([random_boxes(r2, r) for _ in range(k)], axis=1)
+        scores = r2.uniform(0, 1, (r, k + 1)).astype(np.float32)
+        # force exact ties: duplicate a handful of score entries
+        flat = scores[:, :k].reshape(-1)
+        dup = r2.choice(flat.size, 8, replace=False)
+        flat[dup[4:]] = flat[dup[:4]]
+        scores[:, :k] = flat.reshape(r, k)
+        scores /= scores.sum(-1, keepdims=True)
+
+        det = fast_rcnn_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                            iou_thresh=0.5, score_thresh=0.05,
+                            max_out=pre)
+        slot, found_o = top1_per_class(det["class_idx"], det["valid"], k)
+        rows_o = np.asarray(det["proposal_idx"])[np.asarray(slot)]
+        scores_o = np.asarray(det["scores"])[np.asarray(slot)]
+        found_o = np.asarray(found_o)
+
+        rows_n, found_n, scores_n = select_top1_per_class(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            iou_thresh=0.5, score_thresh=0.05, pre=pre)
+        np.testing.assert_array_equal(np.asarray(found_n), found_o,
+                                      err_msg=f"seed {seed}")
+        np.testing.assert_array_equal(
+            np.asarray(rows_n)[found_o], rows_o[found_o],
+            err_msg=f"seed {seed}")
+        np.testing.assert_allclose(
+            np.asarray(scores_n)[found_o], scores_o[found_o],
+            rtol=1e-6, err_msg=f"seed {seed}")
+
+
 # ------------------------------------------------------------- ROIAlign ---
 
 def test_roi_align_matches_oracle(rng):
