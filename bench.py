@@ -404,6 +404,7 @@ def main():
             from bench_e2e import run_e2e
             e2e = run_e2e(batch_size=64, pairs=1664)
             record["e2e_pairs_per_sec"] = e2e["e2e_pairs_per_sec"]
+            record["e2e_wire"] = e2e.get("wire", "f32")
         except Exception as e:
             record["e2e_error"] = f"{type(e).__name__}: {e}"
     elif platform == "tpu":
