@@ -144,7 +144,13 @@ def build_train(a):
         # prof_train read 11.1 ms for a 30.7 ms step)
         anchor = sum(jnp.sum(x).astype(jnp.float32) for x in
                      jax.tree.leaves(new_state.params)[:2])
-        return metrics["total_loss"].astype(jnp.float32) + 0.0 * anchor
+        # nonzero-but-underflowing scale: `0.0 * anchor` would let the
+        # algebraic simplifier fold the product away and DCE the
+        # backward again
+        return (metrics["total_loss"].astype(jnp.float32)
+                + anchor * jnp.float32(1e-30))
+
+    return step, (state0, batch)
 
 
 # ---- minimal protobuf wire-format reader (no TF/xplane_pb2 in this

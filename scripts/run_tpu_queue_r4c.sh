@@ -69,6 +69,9 @@ run ext_topk512 2400 python scripts/bench_extract_sweep.py --batches 8 --extract
 run ext_topk256 2400 python scripts/bench_extract_sweep.py --batches 8 --extract_topk 256
 # train batch lever beyond 128
 run train_b256 2400 python scripts/bench_train.py --batch 256
+# fixed-capture train profile (r4b attempt crashed on a missing return
+# after the DCE fix; the anchor now uses a nonzero underflowing scale)
+run prof_train 2400 python scripts/profile_capture.py --target train
 # loader reconciliation (host-only, no device claim)
 run loader 1200 python scripts/bench_loader.py
 # re-bench if anything above changed a default
