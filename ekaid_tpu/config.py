@@ -179,8 +179,9 @@ class DataConfig:
     # f16 and adjacency labels as int8 (2.3x fewer bytes — see
     # data/pipeline.py compact_wire); the decode loop is transfer-bound
     # on any host. "f32" is the reference-parity wide wire. Training
-    # batches always ship full-width.
-    eval_wire: str = "f32"
+    # batches always ship full-width. On-chip A/B (r4b queue, e2e):
+    # 165.4 vs 87.5 pairs/s end-to-end (+89%) — default compact.
+    eval_wire: str = "compact"
     train: SplitDataConfig = field(default_factory=SplitDataConfig)
     val: SplitDataConfig = field(
         default_factory=lambda: SplitDataConfig(batch_size=64))

@@ -194,9 +194,13 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
     bos = jnp.full((1, B), c.bos_token, jnp.int32)
     feats2d = cast(feats.reshape(B, -1))              # [B, 3*D]
 
+    # 120 MB scoped VMEM: the f32 exactness-gate variant (f32 weights
+    # ~59 MB + scratch) measured 112.60 MB of stack on-chip — 612 KB
+    # over the previous 112 MB limit (r4b decode_pallas stderr); bf16
+    # needs far less. v5e VMEM is 128 MB/core.
     kw = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 2**20)}
+            vmem_limit_bytes=120 * 2**20)}
     seq_t, lps_t, mw_t = pl.pallas_call(
         partial(_decode_kernel, c, policy, len(weights)),
         out_shape=[

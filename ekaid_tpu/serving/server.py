@@ -232,7 +232,8 @@ class CoalescingEngine(InferenceEngine):
     def __init__(self, trainer, seed: int = 0,
                  image_dir: Optional[str] = None,
                  coalesce_batch: int = 16, linger_ms: float = 2.0,
-                 artifact=None, replicas: int = 1):
+                 artifact=None, replicas: int = 1,
+                 pipeline_depth: int = 2):
         import queue
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -240,6 +241,14 @@ class CoalescingEngine(InferenceEngine):
                          artifact=artifact)
         self.coalesce_batch = int(coalesce_batch)
         self.linger_s = float(linger_ms) / 1e3
+        # in-flight coalesced batches per device: dispatch latency
+        # (HTTP handler -> fold -> device roundtrip -> D2H fetch)
+        # pipelines under device time. The r4b load test showed a
+        # strictly-serialized dispatcher losing to concurrent batch-1
+        # requests purely on per-batch roundtrips (~4 x 40-60 ms on the
+        # axon relay); depth 2 overlaps batch k+1's fold+upload with
+        # batch k's execution+fetch on ANY host.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         devices = jax.devices()
         if replicas > len(devices):
             raise ValueError(f"replicas={replicas} but only "
@@ -261,7 +270,6 @@ class CoalescingEngine(InferenceEngine):
 
             self._decode_n = decode_n
 
-        @jax.jit
         def stack_rows(rows, questions):
             # device-side batch assembly for _stack: concat the cached
             # [1, ...] sample rows, then overwrite the question block
@@ -271,18 +279,41 @@ class CoalescingEngine(InferenceEngine):
             batch["question"] = questions
             return batch
 
-        self._stack_jit = stack_rows
+        self._stack_jit = jax.jit(stack_rows)
+        if artifact is None:
+            model = trainer.model
+
+            # live path: assembly + decode in ONE dispatch (one relay
+            # roundtrip instead of two; artifact executables keep the
+            # two-step path — their input signature is the plain batch)
+            @jax.jit
+            def stack_decode(params, rows, questions):
+                return model.apply(params, stack_rows(rows, questions),
+                                   method="decode", sample_max=True)
+
+            self._stack_decode = stack_decode
+        else:
+            self._stack_decode = None
         # per-device param copies (serving params are immutable); warm
         # each device's bucket program once at startup (cached across
         # runs by the persistent compile cache)
         self._params_dev = {d: jax.device_put(self.trainer.state.params,
                                               d)
                             for d in self.devices}
-        warm = self._stack([(self.index, None)] * self.coalesce_batch)
+        warm_items = [(self.index, None)] * self.coalesce_batch
         warm1 = self._batch_for(self.index, None)
         for d in self.devices:
-            np.asarray(self._decode_n(
-                self._params_dev[d], jax.device_put(warm, d))["seq"])
+            if self._stack_decode is not None:
+                rows, questions = self._gather_rows(warm_items)
+                if len(self.devices) > 1:
+                    rows = jax.device_put(rows, d)
+                    questions = jax.device_put(questions, d)
+                np.asarray(self._stack_decode(
+                    self._params_dev[d], rows, questions)["seq"])
+            else:
+                warm = self._stack(warm_items)
+                np.asarray(self._decode_n(
+                    self._params_dev[d], jax.device_put(warm, d))["seq"])
             # also warm the batch-1 fast path per device — a lazy
             # first-request compile would stall a solo client for the
             # full program-compile time
@@ -292,25 +323,29 @@ class CoalescingEngine(InferenceEngine):
                       "max_batch": 0,
                       "per_device": {str(d): 0 for d in self.devices}}
         self._q: "queue.Queue" = queue.Queue()
+        # execution SLOTS: each device appears pipeline_depth times, so
+        # up to depth batches are in flight per device (bounded memory:
+        # depth x one padded batch + outputs)
         self._free: "queue.Queue" = queue.Queue()
-        for d in self.devices:
-            self._free.put(d)
-        self._pool = ThreadPoolExecutor(max_workers=len(self.devices),
+        self._slots = len(self.devices) * self.pipeline_depth
+        for _ in range(self.pipeline_depth):
+            for d in self.devices:
+                self._free.put(d)
+        self._pool = ThreadPoolExecutor(max_workers=self._slots,
                                         thread_name_prefix="ekaid-exec")
         self._thread = threading.Thread(target=self._dispatch,
                                         daemon=True)
         self._thread.start()
 
-    def _stack(self, items):
-        """items: [(index, qids-or-None)] → padded device batch of size
-        coalesce_batch (pad rows repeat item 0; static shapes).
+    def _gather_rows(self, items):
+        """items: [(index, qids-or-None)] → (rows, questions) padded to
+        coalesce_batch (pad repeats item 0; static shapes).
 
         TPU-first: rows come from the device-resident LRU
-        (`_dev_sample`) and are concatenated ON DEVICE by one jitted
-        program — the only host→device bytes per dispatch are the
-        [B, T] question rows (~KB). The first r4 load test shipped the
-        full padded feature batch (~10 MB) per dispatch and lost 2.9x
-        to batch-1 on the bandwidth-starved relay; the reference
+        (`_dev_sample`) — the only host→device bytes per dispatch are
+        the [B, T] question rows (~KB). The first r4 load test shipped
+        the full padded feature batch (~10 MB) per dispatch and lost
+        2.9x to batch-1 on the bandwidth-starved relay; the reference
         rebuilds the whole torch batch per request
         (demo_server.py:49-61,235)."""
         rows, qrows = [], []
@@ -322,7 +357,13 @@ class CoalescingEngine(InferenceEngine):
             rows.append(rows[0])
             qrows.append(qrows[0])
         questions = np.stack(qrows).astype(np.int32)
-        return self._stack_jit(tuple(rows), jnp.asarray(questions))
+        return tuple(rows), jnp.asarray(questions)
+
+    def _stack(self, items):
+        """Materialized padded device batch (artifact path + warm-up):
+        on-device concat of the cached rows, one jitted program."""
+        rows, questions = self._gather_rows(items)
+        return self._stack_jit(rows, questions)
 
     def _dispatch(self):
         """Folding loop with backpressure: collect up to coalesce_batch
@@ -365,28 +406,43 @@ class CoalescingEngine(InferenceEngine):
             try:
                 if len(items) == 1:
                     idx, qids, _, _ = items[0]
-                    batch = self._batch_for(idx, qids)
-                else:
-                    batch = self._stack([(i, q) for i, q, _, _ in items])
+                    work = ("batch", self._batch_for(idx, qids))
+                elif self._stack_decode is not None:
+                    work = ("fused", self._gather_rows(
+                        [(i, q) for i, q, _, _ in items]))
+                else:                       # artifact: plain-batch sig
+                    work = ("batch", self._stack(
+                        [(i, q) for i, q, _, _ in items]))
             except Exception as e:          # report, don't kill serving
                 self._free.put(device)
                 for *_, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self._pool.submit(self._execute, items, batch, device)
+            self._pool.submit(self._execute, items, work, device)
 
-    def _execute(self, items, batch, device):
-        """Runs on a pool thread; `device` was reserved by the
+    def _execute(self, items, work, device):
+        """Runs on a pool thread; `device` (an execution slot — each
+        chip appears pipeline_depth times) was reserved by the
         dispatcher (backpressure) and is released here."""
+        kind, payload = work
         try:
             try:
                 self.stats["per_device"][str(device)] += 1
                 params = self._params_dev[device]
-                if len(self.devices) > 1:
-                    batch = jax.device_put(batch, device)
-                fn = self._decode if len(items) == 1 else self._decode_n
-                out = fn(params, batch)
+                if kind == "fused":
+                    rows, questions = payload
+                    if len(self.devices) > 1:
+                        rows = jax.device_put(rows, device)
+                        questions = jax.device_put(questions, device)
+                    out = self._stack_decode(params, rows, questions)
+                else:
+                    batch = payload
+                    if len(self.devices) > 1:
+                        batch = jax.device_put(batch, device)
+                    fn = (self._decode if len(items) == 1
+                          else self._decode_n)
+                    out = fn(params, batch)
                 seqs = np.asarray(out["seq"])
                 # module weights cross device->host only when some
                 # request in this batch asked for detail (the web
@@ -411,7 +467,7 @@ class CoalescingEngine(InferenceEngine):
         deadline = time.time() + timeout_s
         while time.time() < deadline:
             if (self._q.empty()
-                    and self._free.qsize() == len(self.devices)):
+                    and self._free.qsize() == self._slots):
                 return True
             time.sleep(0.05)
         return False
@@ -534,6 +590,10 @@ def main(argv=None):
                         "(0 disables coalescing: plain batch-1 engine)")
     p.add_argument("--linger_ms", type=float, default=2.0,
                    help="dispatcher wait for straggler requests")
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="in-flight coalesced batches per device "
+                        "(fold/upload of batch k+1 overlaps execution/"
+                        "fetch of batch k)")
     p.add_argument("--replicas", type=int, default=1,
                    help="serve from N local chips: per-device param "
                         "copies + N concurrent device slots (requires "
@@ -592,7 +652,8 @@ def main(argv=None):
         engine: InferenceEngine = CoalescingEngine(
             trainer, image_dir=a.image_dir,
             coalesce_batch=a.coalesce_batch, linger_ms=a.linger_ms,
-            artifact=artifact, replicas=a.replicas)
+            artifact=artifact, replicas=a.replicas,
+            pipeline_depth=a.pipeline_depth)
     else:
         if a.replicas > 1:
             raise SystemExit("--replicas requires coalescing "

@@ -74,6 +74,13 @@ run train_b256 2400 python scripts/bench_train.py --batch 256
 run prof_train 2400 python scripts/profile_capture.py --target train
 # loader reconciliation (host-only, no device claim)
 run loader 1200 python scripts/bench_loader.py
+# serving load with the fused stack+decode single dispatch and
+# pipeline_depth=2 (r4b showed a strictly-serial dispatcher losing on
+# per-batch relay roundtrips)
+run serving_load2 3600 python scripts/bench_serving_load.py --clients 16
+# monolithic pallas decode re-run: the r4b failure was the f32 gate
+# kernel 612 KB over the 112 MB scoped-VMEM limit (raised to 120 MB)
+run decode_pallas 3600 python scripts/bench_decode_sweep.py --kernel pallas --batches 64,128
 # re-bench if anything above changed a default
 run bench 2400 python bench.py
 
