@@ -126,6 +126,8 @@ class FasterRCNN(nn.Module):
         # budget so extract_topk=N is bit-identical to post_nms_topk=N
         pre = min(100, et or self.cfg.post_nms_topk)
 
+        impl = getattr(self.cfg, "select_impl", "fused")
+
         def per_image(cls_scores, box_deltas, proposals, valid, feats):
             probs = jax.nn.softmax(
                 cls_scores.astype(jnp.float32), axis=-1)
@@ -133,11 +135,27 @@ class FasterRCNN(nn.Module):
             probs = jnp.where(valid[:, None], probs, 0.0)
             dec = decode_roi_boxes(box_deltas, proposals,
                                    self.cfg.image_size)
+            if impl == "topk":
+                # sorted-top-`pre`-then-first-of-class composition (the
+                # reference's shape; also detect()'s path)
+                det = fast_rcnn_nms(dec, probs,
+                                    iou_thresh=self.cfg.nms_thresh,
+                                    score_thresh=self.cfg.score_thresh,
+                                    max_out=pre)
+                slot, found = top1_per_class(det["class_idx"],
+                                             det["valid"], k)
+                sel_boxes = jnp.where(found[:, None],
+                                      det["boxes"][slot], 0.0)
+                sel_feat = jnp.where(
+                    found[:, None],
+                    feats[det["proposal_idx"][slot]].astype(jnp.float32),
+                    0.0)
+                sel_scores = jnp.where(found, det["scores"][slot], 0.0)
+                return sel_feat, sel_boxes, sel_scores, found
             # fused top-1-per-class selection: no [R*K] top_k sort, no
-            # top-`pre` list materialization (exact-equivalent to
-            # fast_rcnn_nms + top1_per_class — see
-            # ops/nms.py::select_top1_per_class; the old composition is
-            # kept as the oracle in tests/test_detector_ops.py)
+            # top-`pre` list materialization (exact-equivalent to the
+            # composition above — see ops/nms.py::select_top1_per_class
+            # and its equivalence test)
             rows, found, sel_scores = select_top1_per_class(
                 dec, probs, iou_thresh=self.cfg.nms_thresh,
                 score_thresh=self.cfg.score_thresh, pre=pre)

@@ -50,6 +50,11 @@ def main():
                    help="override detector.rpn_topk")
     p.add_argument("--s2d", action="store_true",
                    help="space-to-depth stem rewrite (A/B)")
+    p.add_argument("--select", default=None, choices=["fused", "topk"],
+                   help="override detector.select_impl (extract's "
+                        "top-1-per-class A/B)")
+    p.add_argument("--extract_topk", type=int, default=0,
+                   help="override detector.extract_topk")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -81,6 +86,10 @@ def main():
         det = det.replace(rpn_topk=a.rpn_topk)
     if a.s2d:
         det = det.replace(s2d_stem=True)
+    if a.select:
+        det = det.replace(select_impl=a.select)
+    if a.extract_topk:
+        det = det.replace(extract_topk=a.extract_topk)
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = FasterRCNN(det, num_classes=det.num_anatomy_classes,
                        norm=(a.norm or det.norm), policy=policy)
