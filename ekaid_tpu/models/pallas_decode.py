@@ -24,7 +24,11 @@ Inference-only (greedy sample_max, no dropout, no VJP) — the eval/
 serving path. `speaker.decode_kernel='pallas'` opts in; teacher forcing
 and beam search keep the XLA paths. Weights stay in VMEM: ~29.4 MB bf16
 at flagship dims (R=512, E=1024, D=1024, W=300, V=148), under the
-raised 112 MB scoped-vmem limit (v5e VMEM is 128 MB/core).
+raised 120 MB scoped-vmem limit (v5e VMEM is 128 MB/core; the f32
+exactness-gate variant measured 112.6 MB of kernel stack on-chip).
+Hardware Mosaic constraints found in the r4 bring-up (interpret mode
+models neither): matmul accumulators must be 32-bit (see `mm`), and
+the 112 MB default scoped-VMEM limit is too small for f32 weights.
 
 Kernel-layout notes (same lessons as ops/pallas_roi.py): everything is
 kept 2-D with batch on sublanes; outputs are written row-per-step as
@@ -69,6 +73,14 @@ def _decode_kernel(cfg, policy, n_weights,
     dt = policy.compute_dtype
     st = policy.softmax_dtype
 
+    def mm(a, b):
+        # Mosaic on hardware requires 32-bit matmul accumulators
+        # ('tpu.matmul op Expected matmul acc to be 32-bit' — interpret
+        # mode does not model this); accumulate f32 then round once,
+        # which is exactly XLA's bf16-out dot semantics
+        return jnp.dot(a, b,
+                       preferred_element_type=jnp.float32).astype(dt)
+
     seq_ref[:] = jnp.zeros_like(seq_ref)
     lps_ref[:] = jnp.zeros_like(lps_ref)
     mw_ref[:] = jnp.zeros_like(mw_ref)
@@ -84,41 +96,36 @@ def _decode_kernel(cfg, policy, n_weights,
         t, it, unfin, h_mod, c_mod, h_lang, c_lang = carry
         # ---- embedding lookup as one-hot matmul (exact) + ReLU ------
         onehot = (lanes_v == it.T).astype(dt)         # it [1,B] -> [B,1]
-        xt = jax.nn.relu(jnp.dot(onehot, wemb, preferred_element_type=dt))
+        xt = jax.nn.relu(mm(onehot, wemb))
         # ---- module-attention LSTM ----------------------------------
-        z_mod = (jnp.dot(jnp.concatenate([fused, h_lang], -1), wih_mod,
-                         preferred_element_type=dt)
-                 + jnp.dot(h_mod, whh_mod, preferred_element_type=dt)
+        z_mod = (mm(jnp.concatenate([fused, h_lang], -1), wih_mod)
+                 + mm(h_mod, whh_mod)
                  + b_mod)
         h_mod, c_mod = _gates(z_mod, c_mod)
         mw = jax.nn.softmax(
-            (jnp.dot(h_mod, wfc, preferred_element_type=dt)
+            (mm(h_mod, wfc)
              + bfc).astype(st), axis=-1)              # [B, 3] f32
         # ---- POS head ------------------------------------------------
-        vpos = jax.nn.relu(jnp.dot(h_lang, wpos1,
-                                   preferred_element_type=dt) + bpos1)
-        dpos = jnp.dot(vpos, wwp, preferred_element_type=dt) + bwp
-        ppos = (jnp.dot(jax.nn.softmax(dpos.astype(st), -1).astype(dt),
-                        wpos2, preferred_element_type=dt) + bpos2)
+        vpos = jax.nn.relu(mm(h_lang, wpos1) + bpos1)
+        dpos = mm(vpos, wwp) + bwp
+        ppos = (mm(jax.nn.softmax(dpos.astype(st), -1).astype(dt),
+                   wpos2) + bpos2)
         # ---- gated module fusion ------------------------------------
         mw_c = mw.astype(dt)
         att = (mw_c[:, 0:1] * f_bef + mw_c[:, 1:2] * f_dif
                + mw_c[:, 2:3] * f_aft)
         gate_h = jax.nn.relu(
-            jnp.dot(jnp.concatenate([h_lang, ppos, att], -1), wg1,
-                    preferred_element_type=dt) + bg1)
-        gate = jax.nn.sigmoid(jnp.dot(gate_h, wg2,
-                                      preferred_element_type=dt) + bg2)
+            mm(jnp.concatenate([h_lang, ppos, att], -1), wg1) + bg1)
+        gate = jax.nn.sigmoid(mm(gate_h, wg2) + bg2)
         # ---- language LSTM (w_ih split on host: a [xt | gate*att]
         # lane-concat at offset 300 is not 128-aligned for Mosaic) ----
-        z_lang = (jnp.dot(xt, wih_lang_x, preferred_element_type=dt)
-                  + jnp.dot(gate * att, wih_lang_a,
-                            preferred_element_type=dt)
-                  + jnp.dot(h_lang, whh_lang, preferred_element_type=dt)
+        z_lang = (mm(xt, wih_lang_x)
+                  + mm(gate * att, wih_lang_a)
+                  + mm(h_lang, whh_lang)
                   + b_lang)
         h_lang, c_lang = _gates(z_lang, c_lang)
         # ---- logits -> greedy token ---------------------------------
-        logits = (jnp.dot(h_lang, wlogit, preferred_element_type=dt)
+        logits = (mm(h_lang, wlogit)
                   + blogit).astype(st)
         m = jnp.max(logits, -1, keepdims=True)
         logp = logits - (m + jnp.log(jnp.sum(jnp.exp(logits - m), -1,

@@ -87,16 +87,35 @@ def main():
         m32_k = EkaidModel(cfg, ntoken=147, policy=f32)
         p32 = m32_k.init({"params": jax.random.PRNGKey(0),
                           "dropout": jax.random.PRNGKey(1)}, gb, train=True)
+        # PEAKED logits (VERDICT r3 do #1): random-init logits are
+        # near-uniform, and on HARDWARE even f32 matmuls are not
+        # bit-stable across backends (Mosaic and XLA pick their own
+        # internal pass decompositions), so argmax ties flip tokens
+        # without any kernel bug (measured: 21/720 at 1x). Scaling the
+        # logit head 4x makes distributions trained-like-peaked; the
+        # gate then demands token-exactness AND a tight numeric bound
+        # on the chosen-token logprobs.
+        p32 = jax.tree.map(lambda x: x, p32)          # fresh containers
+        lg = p32["params"]["speaker"]["logit"]
+        p32["params"]["speaker"]["logit"] = {
+            k: v * 4.0 for k, v in lg.items()}
         m32_x = EkaidModel(cfg.replace(speaker=cfg.speaker.replace(
             decode_kernel="xla")), ntoken=147, policy=f32)
-        g_ref = np.asarray(m32_x.apply(p32, gb, method="decode",
-                                       sample_max=True)["seq"])
-        g_ker = np.asarray(m32_k.apply(p32, gb, method="decode",
-                                       sample_max=True)["seq"])
+        o_ref = m32_x.apply(p32, gb, method="decode", sample_max=True)
+        o_ker = m32_k.apply(p32, gb, method="decode", sample_max=True)
+        g_ref = np.asarray(o_ref["seq"])
+        g_ker = np.asarray(o_ker["seq"])
+        lp_ref = np.asarray(o_ref["logprobs"], np.float64)
+        lp_ker = np.asarray(o_ker["logprobs"], np.float64)
+        live = (g_ref > 0) | (g_ker > 0)
         print(json.dumps({
-            "gate": "f32_exactness", "kernel": a.kernel, "batch": gate_b,
+            "gate": "f32_exactness_peaked", "kernel": a.kernel,
+            "batch": gate_b, "logit_scale": 4.0,
             "seq_exact": bool((g_ref == g_ker).all()),
-            "mismatch_tokens": int((g_ref != g_ker).sum())}), flush=True)
+            "mismatch_tokens": int((g_ref != g_ker).sum()),
+            "max_logprob_diff": float(
+                np.abs(lp_ref - lp_ker)[live].max()
+                if live.any() else 0.0)}), flush=True)
 
         # bf16 agreement (informational — see gate above)
         b0 = int(a.batches.split(",")[0])

@@ -142,8 +142,12 @@ def build_train(a):
         # the loss lets XLA dead-code-eliminate the whole backward +
         # optimizer, silently profiling the forward (caught in r4 —
         # prof_train read 11.1 ms for a 30.7 ms step)
+        # the anchor must touch EVERY param leaf: anchoring only a few
+        # leaves lets XLA dead-code-eliminate all the other leaves'
+        # gradient cones (caught twice in r4 — 11.1 ms forward-only,
+        # then 14.2 ms with a 2-leaf anchor, vs the real 30.7 ms step)
         anchor = sum(jnp.sum(x).astype(jnp.float32) for x in
-                     jax.tree.leaves(new_state.params)[:2])
+                     jax.tree.leaves(new_state.params))
         # nonzero-but-underflowing scale: `0.0 * anchor` would let the
         # algebraic simplifier fold the product away and DCE the
         # backward again
