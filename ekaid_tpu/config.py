@@ -281,11 +281,14 @@ class DetectorConfig:
     # speed/recall knob (the canvas ROIAlign and select tail scale
     # ~linearly in proposal count; see scripts/bench_extract_stages).
     extract_topk: int = 0
-    # extract's top-1-per-class selection: 'fused' (per-class argmax +
-    # comparison-counted rank cap, no [R*K] sort) or 'topk' (the
-    # sorted-top-100 composition, detect()'s shape). Exactly equivalent
-    # outputs (tested); the knob exists for the on-chip speed A/B.
-    select_impl: str = "fused"
+    # extract's top-1-per-class selection: 'topk' (the sorted-top-100
+    # composition, detect()'s shape) or 'fused' (per-class argmax +
+    # comparison-counted rank cap, no [R*K] sort). Exactly equivalent
+    # outputs (tested). On-chip A/B (r4d, quiet window, process-fresh):
+    # topk select tail 5.7 ms/b8 vs fused 7.8 — the sort-free rank
+    # comparison loses to lax.top_k on hardware; default topk, fused
+    # kept as the recorded experiment.
+    select_impl: str = "topk"
     nms_thresh: float = 0.5
     score_thresh: float = 0.0
     proposals_per_image: int = 1000
