@@ -51,9 +51,17 @@ from ekaid_tpu.utils.dtypes import Policy
 
 
 def _gates(z, c_prev):
-    """LSTMCell gate math — single shared copy (decoder._lstm_gates)."""
+    """LSTMCell gate math — single shared copy (decoder._lstm_gates).
+
+    Computed in f32 regardless of the compute dtype: hardware Mosaic
+    rejects the mixed-type scalar broadcast inside sigmoid on bf16
+    vectors ('vector.broadcast op ... same element type', r4d run),
+    and f32 gate nonlinearities only add precision."""
     from ekaid_tpu.models.decoder import _lstm_gates
-    return _lstm_gates(z, c_prev, cast=lambda x: x)
+    dt = z.dtype
+    h, c = _lstm_gates(z.astype(jnp.float32),
+                       c_prev.astype(jnp.float32), cast=lambda x: x)
+    return h.astype(dt), c.astype(dt)
 
 
 def _decode_kernel(cfg, policy, n_weights,

@@ -101,21 +101,36 @@ def main():
             k: v * 4.0 for k, v in lg.items()}
         m32_x = EkaidModel(cfg.replace(speaker=cfg.speaker.replace(
             decode_kernel="xla")), ntoken=147, policy=f32)
-        o_ref = m32_x.apply(p32, gb, method="decode", sample_max=True)
-        o_ker = m32_k.apply(p32, gb, method="decode", sample_max=True)
+        # HIGHEST matmul precision on BOTH paths: XLA's DEFAULT f32 dot
+        # on TPU runs bf16 passes while Mosaic's tpu.matmul does true
+        # f32 — with default precision the two backends legitimately
+        # diverge ~1e-1 in logprobs over 90 accumulated steps (r4d:
+        # deterministic 21-token mismatch, NOT ties). At HIGHEST both
+        # compute real f32 and token equality is a meaningful gate.
+        with jax.default_matmul_precision("highest"):
+            o_ref = m32_x.apply(p32, gb, method="decode",
+                                sample_max=True)
+            o_ker = m32_k.apply(p32, gb, method="decode",
+                                sample_max=True)
         g_ref = np.asarray(o_ref["seq"])
         g_ker = np.asarray(o_ker["seq"])
         lp_ref = np.asarray(o_ref["logprobs"], np.float64)
         lp_ker = np.asarray(o_ker["logprobs"], np.float64)
         live = (g_ref > 0) | (g_ker > 0)
+        # logprob deviation is only meaningful while the token PREFIX
+        # still agrees — after a divergence the states legitimately
+        # differ
+        agree_prefix = np.cumprod(g_ref == g_ker, axis=1).astype(bool)
+        pv = live & agree_prefix
         print(json.dumps({
             "gate": "f32_exactness_peaked", "kernel": a.kernel,
             "batch": gate_b, "logit_scale": 4.0,
+            "precision": "highest",
             "seq_exact": bool((g_ref == g_ker).all()),
             "mismatch_tokens": int((g_ref != g_ker).sum()),
-            "max_logprob_diff": float(
-                np.abs(lp_ref - lp_ker)[live].max()
-                if live.any() else 0.0)}), flush=True)
+            "max_logprob_diff_agreeing_prefix": float(
+                np.abs(lp_ref - lp_ker)[pv].max()
+                if pv.any() else 0.0)}), flush=True)
 
         # bf16 agreement (informational — see gate above)
         b0 = int(a.batches.split(",")[0])
