@@ -124,7 +124,11 @@ def _decode_kernel(cfg, policy, n_weights,
                + mw_c[:, 2:3] * f_aft)
         gate_h = jax.nn.relu(
             mm(jnp.concatenate([h_lang, ppos, att], -1), wg1) + bg1)
-        gate = jax.nn.sigmoid(mm(gate_h, wg2) + bg2)
+        # sigmoid in f32: Mosaic's logistic lowering broadcasts an f32
+        # scalar, which its verifier rejects into bf16 vectors (same
+        # constraint as _gates)
+        gate = jax.nn.sigmoid(
+            (mm(gate_h, wg2) + bg2).astype(jnp.float32)).astype(dt)
         # ---- language LSTM (w_ih split on host: a [xt | gate*att]
         # lane-concat at offset 300 is not 128-aligned for Mosaic) ----
         z_lang = (mm(xt, wih_lang_x)
