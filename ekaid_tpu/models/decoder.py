@@ -322,12 +322,20 @@ class DynamicSpeaker(nn.Module):
                 emb, cast(cp["lang_lstm"]["w_ih"])[:c.word_embed_size],
                 preferred_element_type=dt)               # [T, B, 4R]
         else:
-            lang_pre = jnp.zeros((T,), jnp.int32)        # dummy scan input
+            # hoist off: NO dummy scan input — the traced program must
+            # stay byte-identical to the pre-hoist trace so the
+            # persistent compile cache (incl. the driver's 13-min
+            # seq-90 dryrun program) still hits
+            lang_pre = None
             mod_pre = None
 
         def step(carry, inp):
             state, prev_logp = carry
-            it, kk, ssk, i, lpre = inp
+            if hoist:
+                it, kk, ssk, i, lpre = inp
+            else:
+                it, kk, ssk, i = inp
+                lpre = None
             if use_ss:
                 sample = jax.random.categorical(ssk[0], prev_logp,
                                                 axis=-1).astype(it.dtype)
@@ -347,13 +355,15 @@ class DynamicSpeaker(nn.Module):
 
         prev_logp0 = jnp.zeros((B, c.vocab_size), self.policy.softmax_dtype)
         idx = jnp.arange(T)
+        xs = (tokens, step_keys, ss_keys, idx)
+        if hoist:
+            xs = xs + (lang_pre,)
 
         if self.is_mutable_collection("params"):
             # init trace: one eager step materializes every parameter
             (_, _), (logp, logp_pos, mw) = step(
                 (state0, prev_logp0),
-                (tokens[0], step_keys[0], ss_keys[0], idx[0],
-                 lang_pre[0]))
+                tuple(x[0] for x in xs))
             logps = jnp.broadcast_to(logp[:, None], (B, T) + logp.shape[1:])
             logps_pos = jnp.broadcast_to(logp_pos[:, None],
                                          (B, T) + logp_pos.shape[1:])
@@ -370,9 +380,7 @@ class DynamicSpeaker(nn.Module):
                        else jax.checkpoint_policies.checkpoint_dots)
                 scan_step = jax.checkpoint(step, policy=pol)
             _, (logps, logps_pos, mws) = jax.lax.scan(
-                scan_step, (state0, prev_logp0), (tokens, step_keys,
-                                                  ss_keys, idx,
-                                                  lang_pre),
+                scan_step, (state0, prev_logp0), xs,
                 unroll=c.scan_unroll)
             logps = jnp.swapaxes(logps, 0, 1)            # [B, T, vocab]
             logps_pos = jnp.swapaxes(logps_pos, 0, 1)

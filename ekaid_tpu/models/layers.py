@@ -155,7 +155,12 @@ class LSTMCell(nn.Module):
         b = self.param("b", torch_uniform_init(self.hidden),
                        (4 * self.hidden,), self.policy.param_dtype)
         cast = self.policy.cast_compute
-        xw = jnp.dot(cast(x), cast(w_ih)[pre_width:],
+        # no slice when pre_width == 0: w_ih[0:] would insert a slice
+        # op into the jaxpr and invalidate the persistent compile cache
+        # for every pre-existing program (the default path must trace
+        # byte-identically to the pre-`pre` version)
+        w_in = cast(w_ih)[pre_width:] if pre_width else cast(w_ih)
+        xw = jnp.dot(cast(x), w_in,
                      preferred_element_type=self.policy.compute_dtype)
         if pre is not None:
             xw = xw + pre

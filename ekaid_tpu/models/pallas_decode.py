@@ -155,8 +155,13 @@ def _decode_kernel(cfg, policy, n_weights,
         seq_ref[pl.ds(t, 1), :] = nxt
         lps_ref[pl.ds(t, 1), :] = lp.astype(lps_ref.dtype)
         live = (nxt > 0).astype(mw_ref.dtype)         # [1, B]
+        # each module block is lane-padded to a 128 boundary: hardware
+        # Mosaic rejects dynamic stores whose lane offset is not
+        # 128-aligned ('dynamic store with unaligned indices' at
+        # k*B=64, r4 bring-up); interpret mode does not model this
+        BL = -(-B // 128) * 128
         for k in range(3):                            # static offsets
-            mw_ref[pl.ds(t, 1), k * B:(k + 1) * B] = \
+            mw_ref[pl.ds(t, 1), k * BL:k * BL + B] = \
                 jnp.transpose(mw[:, k:k + 1]).astype(mw_ref.dtype) * live
         return t + 1, nxt, unfin, h_mod, c_mod, h_lang, c_lang
 
@@ -220,12 +225,13 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
     kw = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=120 * 2**20)}
+    BL = -(-B // 128) * 128        # lane-aligned module block (kernel)
     seq_t, lps_t, mw_t = pl.pallas_call(
         partial(_decode_kernel, c, policy, len(weights)),
         out_shape=[
             jax.ShapeDtypeStruct((T, B), jnp.int32),
             jax.ShapeDtypeStruct((T, B), jnp.float32),
-            jax.ShapeDtypeStruct((T, 3 * B), jnp.float32),
+            jax.ShapeDtypeStruct((T, 3 * BL), jnp.float32),
         ],
         interpret=interpret,
         **kw,
@@ -233,5 +239,5 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
 
     seq = seq_t.T                                     # [B, T]
     lps = lps_t.T
-    mws = jnp.stack([mw_t[:, k * B:(k + 1) * B].T for k in range(3)], -1)
+    mws = jnp.stack([mw_t[:, k * BL:k * BL + B].T for k in range(3)], -1)
     return {"seq": seq, "logprobs": lps, "module_weights": mws}
