@@ -32,9 +32,12 @@ the 112 MB default scoped-VMEM limit is too small for f32 weights.
 
 Kernel-layout notes (same lessons as ops/pallas_roi.py): everything is
 kept 2-D with batch on sublanes; outputs are written row-per-step as
-[T, B] (sublane-dim dynamic stores) and transposed on the way out;
-module weights go to a [T, 3*B] ref at static column offsets (a [T,B,3]
-ref would lane-pad 43x); tpu iota must be >=2-D (broadcasted_iota).
+[T, B] (sublane-dim dynamic stores at lane offset 0 — the ONLY dynamic
+store shape hardware Mosaic accepted in the r4 bring-up: static column
+offsets k*B and even 128-aligned offsets with partial width are
+'dynamic store with unaligned indices'); module weights therefore use
+three separate [T, B] refs (a [T,B,3] ref would also lane-pad 43x);
+tpu iota must be >=2-D (broadcasted_iota).
 """
 
 from __future__ import annotations
@@ -68,7 +71,8 @@ def _decode_kernel(cfg, policy, n_weights,
                    # refs: [bos, fused, feats] + weights + outputs
                    *refs):
     (bos_ref, fused_ref, feats_ref), w = refs[:3], refs[3:3 + n_weights]
-    seq_ref, lps_ref, mw_ref = refs[3 + n_weights:]
+    seq_ref, lps_ref, mw0_ref, mw1_ref, mw2_ref = refs[3 + n_weights:]
+    mw_refs = (mw0_ref, mw1_ref, mw2_ref)
     (wemb, wih_mod, whh_mod, b_mod, wfc, bfc, wpos1, bpos1, wwp, bwp,
      wpos2, bpos2, wg1, bg1, wg2, bg2, wih_lang_x, wih_lang_a,
      whh_lang, b_lang, wlogit, blogit) = [r[:] for r in w]
@@ -91,7 +95,8 @@ def _decode_kernel(cfg, policy, n_weights,
 
     seq_ref[:] = jnp.zeros_like(seq_ref)
     lps_ref[:] = jnp.zeros_like(lps_ref)
-    mw_ref[:] = jnp.zeros_like(mw_ref)
+    for r in mw_refs:
+        r[:] = jnp.zeros_like(r)
 
     fused = fused_ref[:]
     feats = feats_ref[:]                              # [B, 3*D]
@@ -154,15 +159,16 @@ def _decode_kernel(cfg, policy, n_weights,
         # ---- write step outputs (sublane-dim dynamic row) -----------
         seq_ref[pl.ds(t, 1), :] = nxt
         lps_ref[pl.ds(t, 1), :] = lp.astype(lps_ref.dtype)
-        live = (nxt > 0).astype(mw_ref.dtype)         # [1, B]
-        # each module block is lane-padded to a 128 boundary: hardware
-        # Mosaic rejects dynamic stores whose lane offset is not
-        # 128-aligned ('dynamic store with unaligned indices' at
-        # k*B=64, r4 bring-up); interpret mode does not model this
-        BL = -(-B // 128) * 128
-        for k in range(3):                            # static offsets
-            mw_ref[pl.ds(t, 1), k * BL:k * BL + B] = \
-                jnp.transpose(mw[:, k:k + 1]).astype(mw_ref.dtype) * live
+        live = (nxt > 0).astype(mw0_ref.dtype)        # [1, B]
+        # one [T, B] ref per module, full-row stores at lane offset 0:
+        # hardware Mosaic rejects dynamic stores at non-zero lane
+        # offsets in this shape regime ('dynamic store with unaligned
+        # indices' at k*B and even at 128-aligned k*BL with partial
+        # width, r4 bring-up); the seq/lps row-store pattern is the one
+        # that verifiably compiles. Interpret mode models none of this.
+        for k in range(3):
+            mw_refs[k][pl.ds(t, 1), :] = \
+                jnp.transpose(mw[:, k:k + 1]).astype(mw0_ref.dtype) * live
         return t + 1, nxt, unfin, h_mod, c_mod, h_lang, c_lang
 
     def cond(carry):
@@ -225,13 +231,14 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
     kw = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=120 * 2**20)}
-    BL = -(-B // 128) * 128        # lane-aligned module block (kernel)
-    seq_t, lps_t, mw_t = pl.pallas_call(
+    seq_t, lps_t, mw0, mw1, mw2 = pl.pallas_call(
         partial(_decode_kernel, c, policy, len(weights)),
         out_shape=[
             jax.ShapeDtypeStruct((T, B), jnp.int32),
             jax.ShapeDtypeStruct((T, B), jnp.float32),
-            jax.ShapeDtypeStruct((T, 3 * BL), jnp.float32),
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
+            jax.ShapeDtypeStruct((T, B), jnp.float32),
         ],
         interpret=interpret,
         **kw,
@@ -239,5 +246,5 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
 
     seq = seq_t.T                                     # [B, T]
     lps = lps_t.T
-    mws = jnp.stack([mw_t[:, k * BL:k * BL + B].T for k in range(3)], -1)
+    mws = jnp.stack([mw0.T, mw1.T, mw2.T], -1)        # [B, T, 3]
     return {"seq": seq, "logprobs": lps, "module_weights": mws}
