@@ -164,6 +164,9 @@ def bench_qa(platform: str, variants: bool = False,
                                         cast_params_for_inference)
 
     cfg = default_config()
+    from ekaid_tpu.utils.platform import resolve_decode_kernel
+    cfg = cfg.replace(speaker=cfg.speaker.replace(
+        decode_kernel=resolve_decode_kernel(cfg.speaker.decode_kernel)))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
 
@@ -210,12 +213,16 @@ def bench_qa(platform: str, variants: bool = False,
         # A/B the decode-step variants (same params, proven-equal
         # outputs — tests/test_model.py); results steer which knobs the
         # next round turns on by default
+        # variants A/B the XLA scan knobs — pin decode_kernel back to
+        # xla (fused_core/scan_unroll rewrite the XLA step and refuse
+        # to compose with the pallas whole-loop kernel)
+        xsp = cfg.speaker.replace(decode_kernel="xla")
         for name, sp in [
-                ("fused", cfg.speaker.replace(fused_core=True)),
-                ("unroll2", cfg.speaker.replace(scan_unroll=2)),
-                ("unroll4", cfg.speaker.replace(scan_unroll=4)),
-                ("fused_unroll2", cfg.speaker.replace(fused_core=True,
-                                                      scan_unroll=2))]:
+                ("fused", xsp.replace(fused_core=True)),
+                ("unroll2", xsp.replace(scan_unroll=2)),
+                ("unroll4", xsp.replace(scan_unroll=4)),
+                ("fused_unroll2", xsp.replace(fused_core=True,
+                                              scan_unroll=2))]:
             mv = EkaidModel(cfg.replace(speaker=sp), ntoken=147,
                             policy=policy)
             try:

@@ -105,8 +105,13 @@ class SpeakerConfig:
     # VMEM-resident, states in registers, in-kernel early exit) instead
     # of the XLA lax.while_loop — attacks the per-step scheduling
     # latency the scan can't hide (models/pallas_decode.py). Eval-only,
-    # greedy only. 'xla' | 'pallas' | 'pallas_interpret' (CPU debug).
-    decode_kernel: str = "xla"
+    # greedy only. 'auto' (pallas on TPU, xla elsewhere — resolved at
+    # build time by utils/platform.resolve_decode_kernel; unresolved
+    # 'auto' IS the xla path) | 'xla' | 'pallas' | 'pallas_interpret'
+    # (CPU debug). On-chip verdict (r4): hardware-proven token-exact at
+    # pinned-f32; b64 10,689 / b128 13,876 pairs/s vs XLA's same-day
+    # 10.0-10.6k / 13.0-13.3k.
+    decode_kernel: str = "auto"
     # rematerialization policy for the teacher-forcing scan body during
     # TRAINING: 'none' stores every step's activations for the backward
     # (XLA default), 'dots' (jax.checkpoint_policies.checkpoint_dots)

@@ -78,8 +78,14 @@ class Trainer:
             param_dtype=canonical(cfg.dtypes.param_dtype),
             compute_dtype=canonical(cfg.dtypes.compute_dtype),
             softmax_dtype=canonical(cfg.dtypes.softmax_dtype))
-        # vocab size flows from the data (train_mimic.py:148)
-        speaker_cfg = cfg.speaker.replace(vocab_size=vocab.size)
+        # vocab size flows from the data (train_mimic.py:148); the
+        # decode kernel resolves 'auto' -> pallas on TPU here (build
+        # time — modules never query devices, utils/platform.py)
+        from ekaid_tpu.utils.platform import resolve_decode_kernel
+        speaker_cfg = cfg.speaker.replace(
+            vocab_size=vocab.size,
+            decode_kernel=resolve_decode_kernel(
+                cfg.speaker.decode_kernel))
         self.cfg = cfg = cfg.replace(speaker=speaker_cfg)
         self.model = EkaidModel(cfg, ntoken=len(vocab.word_to_idx),
                                 policy=policy)

@@ -68,6 +68,29 @@ def resolve_roi_backend(backend: str) -> str:
         return "xla"
 
 
+def resolve_decode_kernel(kernel: str) -> str:
+    """Resolve a `speaker.decode_kernel` of 'auto' to 'pallas' on TPU
+    (the whole-loop greedy-decode kernel, models/pallas_decode.py:
+    hardware-proven token-exact vs XLA at pinned-f32 precision, and
+    measured b64 10,689 / b128 13,876 pairs/s vs the XLA path's
+    10,0-10,6k / 13,0-13,3k same-day band — r4 decode_pallas A/B) and
+    'xla' everywhere else. Same build-time-only device-query rule as
+    resolve_roi_backend above. An UNRESOLVED 'auto' is safe: the
+    decoder treats anything that isn't 'pallas*' as the XLA path, so
+    CPU tests and the multichip dryrun never need the resolver."""
+    if kernel != "auto":
+        return kernel
+    import jax
+    try:
+        # single-chip only: the decode jit shards batch over 'data'
+        # via GSPMD, and a pallas_call has no SPMD partitioning rule —
+        # multi-device meshes keep the (sharding-proven) XLA loop
+        return ("pallas" if jax.default_backend() == "tpu"
+                and len(jax.devices()) == 1 else "xla")
+    except Exception:
+        return "xla"
+
+
 def apply_platform_env() -> None:
     plat = os.environ.get("EKAID_PLATFORM")
     if not plat:

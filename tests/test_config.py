@@ -60,6 +60,17 @@ def test_merge_from_list_coercion():
     assert cfg.speaker.fused_core is False
 
 
+def test_resolve_decode_kernel():
+    """'auto' resolves to xla off-TPU (this env), explicit values pass
+    through, and an unresolved 'auto' takes the decoder's XLA branch
+    (it is not a 'pallas*' string)."""
+    from ekaid_tpu.utils.platform import resolve_decode_kernel
+    assert resolve_decode_kernel("xla") == "xla"
+    assert resolve_decode_kernel("pallas") == "pallas"
+    assert resolve_decode_kernel("auto") == "xla"
+    assert not "auto".startswith("pallas")
+
+
 def test_merge_from_list_rejects_odd_pairs():
     with pytest.raises(AssertionError):
         merge_from_list(default_config(), ["train.max_iter"])
