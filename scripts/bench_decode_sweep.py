@@ -22,7 +22,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from bench import V5E_BF16_PEAK, _decode_chain, _program_tflops, \
+from bench import V5E_BF16_PEAK, _decode_chain, _decode_loop_tflops, \
+    _program_tflops, \
     _slope_time  # noqa: E402
 
 
@@ -173,16 +174,24 @@ def main():
                 dstep, params, batch,
                 jnp.zeros((b, cfg.speaker.seq_length), jnp.int32),
                 jnp.float32(0))
+            # cost_analysis counts the while body once (and the pallas
+            # whole-loop kernel as ~zero) — add the loop's analytic
+            # per-step matmul flops × trip count (bench.py)
+            loop_tflops = _decode_loop_tflops(
+                params, b, cfg.speaker.seq_length,
+                counted_once=(cfg.speaker.decode_kernel != "pallas"))
+            total = tflops + loop_tflops
             n_lo, n_hi = (10, 40) if platform != "cpu" else (1, 3)
             per, fixed = _slope_time(run_chain, n_lo, n_hi)
             rec = {"batch": b, "platform": platform,
                    "pairs_per_sec": round(b / per, 2),
                    "ms_per_invocation": round(per * 1e3, 3),
-                   "program_tflops": round(tflops, 4),
+                   "program_tflops": round(total, 4),
+                   "program_tflops_cost_analysis": round(tflops, 4),
                    "fixed_latency_ms": round(fixed * 1e3, 1)}
-            if tflops > 0 and platform != "cpu":
+            if total > 0 and platform != "cpu":
                 rec["mfu_pct"] = round(
-                    100.0 * tflops * 1e12 / per / V5E_BF16_PEAK, 2)
+                    100.0 * total * 1e12 / per / V5E_BF16_PEAK, 2)
         except Exception as e:
             rec = {"batch": b, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rec), flush=True)

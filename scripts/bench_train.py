@@ -125,6 +125,19 @@ def main():
         tflops = float(cost.get("flops", 0.0)) / 1e12
     except Exception:
         pass
+    # cost_analysis counts each while body ONCE — the teacher-forcing
+    # fwd scan and its backward scan each execute scan_t times. Add
+    # the missing (scan_t - 1) trips of fwd body + backward body
+    # (standard 2x-forward for the two transposed dots per matmul);
+    # see bench.py::_decode_loop_tflops. At accum > 1 the microbatch
+    # scan multiplies trip counts and microbatch bodies are smaller —
+    # the supplement is exact at accum=1 and skipped otherwise.
+    loop_tflops = 0.0
+    if a.accum == 1:
+        from bench import _decode_loop_tflops
+        body_fwd = _decode_loop_tflops(state.params, b, steps=1)
+        loop_tflops = body_fwd * 3 * max(scan_t - 1, 0)
+    total_tflops = tflops + loop_tflops
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch, rng)
@@ -148,11 +161,12 @@ def main():
            "platform": platform,
            "pairs_per_sec": round(b / per, 2),
            "ms_per_step": round(per * 1e3, 2),
-           "program_tflops": round(tflops, 4),
+           "program_tflops": round(total_tflops, 4),
+           "program_tflops_cost_analysis": round(tflops, 4),
            "fixed_latency_ms": round(fixed * 1e3, 1),
            "compile_s": round(compile_s, 1)}
-    if tflops > 0 and platform != "cpu":
-        rec["mfu_pct"] = round(100.0 * tflops * 1e12 / per
+    if total_tflops > 0 and platform != "cpu":
+        rec["mfu_pct"] = round(100.0 * total_tflops * 1e12 / per
                                / V5E_BF16_PEAK, 2)
     rec["remat"] = cfg.speaker.remat
     rec["accum"] = a.accum
@@ -193,8 +207,13 @@ def main():
             loss, gsum = fwd_bwd(params, b2, rng)
             return (loss + 1e-30 * gsum).astype(jnp.float32)
 
-        for name, fn in [("forward", fwd_step),
-                         ("forward+backward", fwdbwd_step)]:
+        from bench import _decode_loop_tflops
+        body_fwd_fl = _decode_loop_tflops(state.params, b,
+                                          steps=1) * 1e12
+        for name, fn, extra_fl in [
+                ("forward", fwd_step, body_fwd_fl * (scan_t - 1)),
+                ("forward+backward", fwdbwd_step,
+                 body_fwd_fl * 3 * (scan_t - 1))]:
             try:
                 flops = bytes_acc = 0.0
                 try:
@@ -203,7 +222,9 @@ def main():
                                       ).cost_analysis()
                     if isinstance(ca, (list, tuple)):
                         ca = ca[0]
-                    flops = float(ca.get("flops", 0.0))
+                    # + the while-body trips cost_analysis omits
+                    # (bodies counted once; see bench.py)
+                    flops = float(ca.get("flops", 0.0)) + extra_fl
                     bytes_acc = float(ca.get("bytes accessed", 0.0))
                 except Exception:
                     pass

@@ -338,7 +338,10 @@ def main():
     out = {"target": a.target, "batch": a.batch, "iters": a.iters,
            "trace_dir": trace_dir}
     out.update(summarize_xplane(trace_dir, a.top))
-    print(json.dumps(out, indent=1))
+    # ONE line: the tpu-queue wrapper captures stdout line-by-line, so
+    # a pretty-printed (multi-line) dump records only its first "{"
+    # (caught in the r4f prof_extract row)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

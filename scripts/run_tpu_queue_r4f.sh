@@ -79,5 +79,10 @@ run ext_stages_now 2400 python scripts/bench_extract_stages.py \
     --batch 8 --norm frozen_bn
 run prof_extract 2400 python scripts/profile_capture.py \
     --target extract --norm frozen_bn
+# second bench pass: the first run paid the post-default-flip cold
+# compiles and time-guarded out the b128/e2e rows; with the cache warm
+# this run should land the full record (b64+b128+e2e+loader) AND leave
+# every executable the driver's round-end bench needs in the cache.
+run bench2 3600 python bench.py
 
 echo "queue done -> $OUT"
