@@ -60,7 +60,11 @@ class FasterRCNN(nn.Module):
                                 fc_dim=self.cfg.roi_feat_dim,
                                 pool_size=self.cfg.roi_pool_size,
                                 policy=self.policy,
-                                roi_backend=backend, name="box_head")
+                                roi_backend=backend,
+                                roi_group=getattr(self.cfg, "roi_group", 8),
+                                roi_unroll=getattr(self.cfg, "roi_unroll",
+                                                   0),
+                                name="box_head")
 
     def _features(self, images):
         feats = self.backbone(images)

@@ -394,6 +394,14 @@ def multilevel_roi_align_canvas(fmaps: Sequence[jnp.ndarray],
             "pooling='kron' is interpret-only: Mosaic rejects its "
             "lane-merging weight reshape (unsupported shape cast); "
             "use pooling='separable' on hardware")
+    if 0 < unroll < group and group % unroll != 0:
+        # the two-level kernel runs group//unroll fori blocks of
+        # `unroll` ROIs — a remainder would leave group%unroll output
+        # rows per grid step unwritten (silent garbage features)
+        raise ValueError(
+            f"group ({group}) must be divisible by unroll ({unroll}) "
+            f"when 0 < unroll < group — the fori_loop kernel pools "
+            f"exactly group//unroll * unroll ROIs per grid step")
     batched = rois.ndim == 3
     if not batched:
         fmaps = [f[None] for f in fmaps]

@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import random
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -91,6 +92,12 @@ class InferenceEngine:
         from collections import OrderedDict
         self._dev_cache: "OrderedDict[int, dict]" = OrderedDict()
         self._dev_cache_cap = 64
+        # ThreadingHTTPServer handlers call _dev_sample concurrently on
+        # the base engine (the coalescing engine funnels through one
+        # dispatcher thread, but single-flight mode does not) — the
+        # OrderedDict insert/move_to_end/popitem sequence must not
+        # interleave
+        self._dev_cache_lock = threading.Lock()
         # warm the compile with the first sample — explicitly the base
         # path: a subclass override (CoalescingEngine) is not wired up
         # until after this constructor returns
@@ -107,22 +114,27 @@ class InferenceEngine:
         load test: 16-slot batches at ~10 MB each lost 2.9x to batch-1).
         The reference rebuilds the full torch batch per request
         (demo_server.py:49-61,235)."""
-        hit = self._dev_cache.get(index)
-        if hit is None:
-            s = self.ds.sample(index)
-            if self.artifact is None:
-                # minimal wire dtypes for the one-time upload (the
-                # model casts at entry); artifact executables were
-                # exported against the full-width input signature
-                from ekaid_tpu.data.pipeline import compact_wire
-                s = compact_wire(s)
-            hit = {k: jnp.asarray(np.asarray(v)[None])
-                   for k, v in s.items() if k != "pair_index"}
+        with self._dev_cache_lock:
+            hit = self._dev_cache.get(index)
+            if hit is not None:
+                self._dev_cache.move_to_end(index)
+                return hit
+        # miss: build + upload OUTSIDE the lock (host read + H2D can be
+        # slow; a duplicate concurrent upload of the same index is
+        # harmless — last writer wins, both values are identical)
+        s = self.ds.sample(index)
+        if self.artifact is None:
+            # minimal wire dtypes for the one-time upload (the
+            # model casts at entry); artifact executables were
+            # exported against the full-width input signature
+            from ekaid_tpu.data.pipeline import compact_wire
+            s = compact_wire(s)
+        hit = {k: jnp.asarray(np.asarray(v)[None])
+               for k, v in s.items() if k != "pair_index"}
+        with self._dev_cache_lock:
             self._dev_cache[index] = hit
             while len(self._dev_cache) > self._dev_cache_cap:
                 self._dev_cache.popitem(last=False)
-        else:
-            self._dev_cache.move_to_end(index)
         return hit
 
     def _batch_for(self, index: int, question_ids: Optional[np.ndarray]):
@@ -660,7 +672,15 @@ def main(argv=None):
                              "(--coalesce_batch > 0)")
         engine = InferenceEngine(trainer, image_dir=a.image_dir,
                                  artifact=artifact)
-    server = ThreadingHTTPServer((a.host, a.port), make_handler(engine))
+    # deep listen backlog: socketserver's default request_queue_size=5
+    # drops connections (RST) under request bursts larger than the
+    # handler-thread spin-up rate — measured 14/128 resets on a
+    # 128-connect burst (r5 verify); 128 absorbs any burst the
+    # coalescing engine can batch
+    class _Server(ThreadingHTTPServer):
+        request_queue_size = 128
+
+    server = _Server((a.host, a.port), make_handler(engine))
 
     # graceful shutdown: stop accepting, drain in-flight decodes, then
     # exit — never die mid-device-claim (it can wedge the chip; memory:

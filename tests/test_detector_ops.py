@@ -649,6 +649,37 @@ def test_canvas_roi_unroll_schedules_match(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_canvas_roi_indivisible_unroll_rejected(rng):
+    """ADVICE r4: 0 < unroll < group with group % unroll != 0 would run
+    group//unroll fori blocks and leave the remainder ROIs of every grid
+    step unpooled (silent garbage rows) — must raise, not compute."""
+    import pytest
+    from ekaid_tpu.ops.pallas_roi import multilevel_roi_align_canvas
+    fmaps = [jnp.zeros((128 >> i, 128 >> i, 8), jnp.float32)
+             for i in range(4)]
+    rois = jnp.asarray([[4.0, 4.0, 40.0, 40.0]])
+    with pytest.raises(ValueError, match="divisible"):
+        multilevel_roi_align_canvas(
+            fmaps, rois, [0.25, 0.125, 0.0625, 0.03125],
+            out_size=7, interpret=True, group=8, unroll=3)
+
+
+def test_boxhead_wires_roi_schedule_knobs():
+    """ADVICE r4: DetectorConfig.roi_group/roi_unroll must reach the
+    BoxHead (they were silently dropped — configuring them was a
+    no-op)."""
+    import jax
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.models.detector.faster_rcnn import FasterRCNN
+    cfg = default_config().detector
+    cfg = cfg.replace(roi_group=16, roi_unroll=4)
+    m = FasterRCNN(cfg, num_classes=3)
+    bound = m.bind(m.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3)), train=False))
+    assert bound.box_head.roi_group == 16
+    assert bound.box_head.roi_unroll == 4
+
+
 def test_canvas_roi_fuzz_vs_xla_oracle(rng):
     """Randomized sweep of the TPU-default canvas kernel vs the XLA
     gather oracle: 400 random ROIs over a 512-frame pyramid, checked on
