@@ -61,6 +61,17 @@ class ChangeDetectorConfig:
     #    2 * dir-1(transposed-adjacency) attention; dir-0 never contributes.
     #  'sum' — self + both directions summed (the commented intent).
     dir_reduce: str = "reference"
+    # Run the bef/aft images through the relation-encoder stack as ONE
+    # [2B, …] batch instead of two sequential [B, …] passes (the
+    # encoders share weights — reference call stack modules.py:216-232
+    # runs them twice). Halves the per-step GAT program count; the
+    # small [B,52,52,H] attention fusions are launch/VPU-bound so the
+    # doubled batch amortizes their fixed cost. Eval outputs are
+    # bit-identical (per-sample math is batch-row independent); train
+    # differs only in the dropout mask draw (same distribution) —
+    # tests/test_model.py pins both. Default off pending the on-chip
+    # A/B (r5 queue).
+    pair_batch: bool = False
 
 
 @_frozen

@@ -234,10 +234,27 @@ class ChangeDetector(nn.Module):
                 "all", "implicit", "i+s") else None
             pos_aft = self._position_emb(q_bb) if self.graph in (
                 "all", "implicit", "i+s") else None
-            input_bef = self._encode_image(input_bef, d_adj, d_sem_adj,
-                                           pos_bef, q_vec, train)
-            input_aft = self._encode_image(input_aft, q_adj, q_sem_adj,
-                                           pos_aft, q_vec, train)
+            if c.pair_batch:
+                # One [2B, …] pass through the shared-weight encoder
+                # stack instead of two sequential [B, …] passes
+                # (modules.py:216-232 runs the stack once per image).
+                # Per-sample math is batch-row independent, so eval is
+                # bit-identical to the two-pass path; train differs
+                # only in the dropout mask draw (tests/test_model.py).
+                B = input_bef.shape[0]
+                enc = self._encode_image(
+                    jnp.concatenate([input_bef, input_aft], axis=0),
+                    jnp.concatenate([d_adj, q_adj], axis=0),
+                    jnp.concatenate([d_sem_adj, q_sem_adj], axis=0),
+                    None if pos_bef is None else jnp.concatenate(
+                        [pos_bef, pos_aft], axis=0),
+                    jnp.concatenate([q_vec, q_vec], axis=0), train)
+                input_bef, input_aft = enc[:B], enc[B:]
+            else:
+                input_bef = self._encode_image(input_bef, d_adj, d_sem_adj,
+                                               pos_bef, q_vec, train)
+                input_aft = self._encode_image(input_aft, q_adj, q_sem_adj,
+                                               pos_aft, q_vec, train)
         input_diff = input_aft - input_bef
 
         # gated context fusion (modules.py:278-288)

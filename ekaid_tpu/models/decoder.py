@@ -209,6 +209,11 @@ class DynamicSpeaker(nn.Module):
 
     cfg: Any                      # SpeakerConfig
     policy: Policy = F32
+    # jax.sharding.Mesh for the pallas decode kernel under multi-chip
+    # eval (shard_map over 'data' — see pallas_decode.pallas_greedy_
+    # decode). None (default) = single-device pallas_call. Static
+    # module metadata, not a traced value.
+    decode_mesh: Any = None
 
     def setup(self):
         c = self.cfg
@@ -437,7 +442,8 @@ class DynamicSpeaker(nn.Module):
                  "core": self.core.variables["params"],
                  "logit": self.logit.variables["params"]},
                 c, self.policy, fused, feats,
-                interpret=(c.decode_kernel == "pallas_interpret"))
+                interpret=(c.decode_kernel == "pallas_interpret"),
+                mesh=self.decode_mesh)
         state0 = self._init_state(B)
         bos = jnp.full((B,), c.bos_token, jnp.int32)
         vocab_iota = jnp.arange(c.vocab_size)

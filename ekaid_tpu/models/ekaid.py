@@ -36,6 +36,9 @@ class EkaidModel(nn.Module):
     cfg: Any                      # full Config
     ntoken: int                   # len(word_to_idx) — question vocab
     policy: Policy = F32
+    # jax.sharding.Mesh: enables the pallas decode kernel on sharded
+    # eval (shard_map over 'data'); None keeps single-device behavior
+    decode_mesh: Any = None
 
     def setup(self):
         c = self.cfg
@@ -46,6 +49,7 @@ class EkaidModel(nn.Module):
             question_att=getattr(c.question, "att_mode", "fixed"),
             policy=self.policy, name="change_detector")
         self.speaker = DynamicSpeaker(c.speaker, policy=self.policy,
+                                      decode_mesh=self.decode_mesh,
                                       name="speaker")
 
     def _adjacencies(self, batch):

@@ -183,13 +183,25 @@ def _decode_kernel(cfg, policy, n_weights,
 
 
 def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
-                         fused, feats, interpret: bool = False
+                         fused, feats, interpret: bool = False,
+                         mesh=None, data_axis: str = "data"
                          ) -> Dict[str, jnp.ndarray]:
     """Run the whole greedy decode in one kernel.
 
     speaker_params: DynamicSpeaker variables['params'] (word_emb, core,
     logit; 'embed' is consumed by the caller's _fused). fused [B, E],
     feats [B, 3, D] as produced by DynamicSpeaker._fused.
+
+    mesh: a jax.sharding.Mesh ⇒ run the kernel under `jax.shard_map`
+    over `data_axis` (VERDICT r4 #4: pallas_call has no GSPMD
+    partitioning rule, so without this the sharded eval jit silently
+    kept the XLA loop). The kernel is batch-parallel — each device
+    decodes its own batch shard with zero cross-chip communication,
+    and per-shard early exit can only fire sooner than the global one.
+    Weights enter replicated (P()); if the eval params arrive
+    model-sharded, GSPMD inserts the one-time all-gather at kernel
+    entry. A 1-sized (or absent) data axis falls through to the plain
+    call — bit-identical, no shard_map overhead.
 
     Returns the same dict as DynamicSpeaker.sample(sample_max=True):
     seq [B, T] int32, logprobs [B, T] f32, module_weights [B, T, 3]
@@ -231,18 +243,39 @@ def pallas_greedy_decode(speaker_params, cfg, policy: Policy,
     kw = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=120 * 2**20)}
-    seq_t, lps_t, mw0, mw1, mw2 = pl.pallas_call(
-        partial(_decode_kernel, c, policy, len(weights)),
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B), jnp.int32),
-            jax.ShapeDtypeStruct((T, B), jnp.float32),
-            jax.ShapeDtypeStruct((T, B), jnp.float32),
-            jax.ShapeDtypeStruct((T, B), jnp.float32),
-            jax.ShapeDtypeStruct((T, B), jnp.float32),
-        ],
-        interpret=interpret,
-        **kw,
-    )(bos, cast(fused), feats2d, *weights)
+
+    def call(bos_x, fused_x, feats_x, *ws):
+        b = fused_x.shape[0]
+        return pl.pallas_call(
+            partial(_decode_kernel, c, policy, len(ws)),
+            out_shape=[
+                jax.ShapeDtypeStruct((T, b), jnp.int32),
+                jax.ShapeDtypeStruct((T, b), jnp.float32),
+                jax.ShapeDtypeStruct((T, b), jnp.float32),
+                jax.ShapeDtypeStruct((T, b), jnp.float32),
+                jax.ShapeDtypeStruct((T, b), jnp.float32),
+            ],
+            interpret=interpret,
+            **kw,
+        )(bos_x, fused_x, feats_x, *ws)
+
+    n_data = (mesh.shape.get(data_axis, 1) if mesh is not None else 1)
+    if n_data > 1:
+        from jax.sharding import PartitionSpec as P
+        assert B % n_data == 0, (
+            f"pallas decode batch {B} not divisible by the mesh "
+            f"'{data_axis}' axis ({n_data})")
+        rep = P()
+        call = jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(P(None, data_axis), P(data_axis), P(data_axis),
+                      *([rep] * len(weights))),
+            out_specs=(P(None, data_axis),) * 5,
+            # outputs vary per shard along the batch lanes; the kernel
+            # itself is opaque to the replication checker
+            check_vma=False)
+    seq_t, lps_t, mw0, mw1, mw2 = call(bos, cast(fused), feats2d,
+                                       *weights)
 
     seq = seq_t.T                                     # [B, T]
     lps = lps_t.T

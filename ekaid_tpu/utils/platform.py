@@ -98,7 +98,7 @@ def resolve_roi_backend(backend: str) -> str:
         return "xla"
 
 
-def resolve_decode_kernel(kernel: str) -> str:
+def resolve_decode_kernel(kernel: str, sharded_ok: bool = False) -> str:
     """Resolve a `speaker.decode_kernel` of 'auto' to 'pallas' on TPU
     (the whole-loop greedy-decode kernel, models/pallas_decode.py:
     hardware-proven token-exact vs XLA at pinned-f32 precision, and
@@ -107,16 +107,20 @@ def resolve_decode_kernel(kernel: str) -> str:
     'xla' everywhere else. Same build-time-only device-query rule as
     resolve_roi_backend above. An UNRESOLVED 'auto' is safe: the
     decoder treats anything that isn't 'pallas*' as the XLA path, so
-    CPU tests and the multichip dryrun never need the resolver."""
+    CPU tests and the multichip dryrun never need the resolver.
+
+    sharded_ok=True: the caller threads a jax.sharding.Mesh into the
+    model (EkaidModel(decode_mesh=...)), so the kernel runs under
+    shard_map over 'data' on multi-device hosts (VERDICT r4 #4) and
+    'auto' may resolve to 'pallas' regardless of device count. Without
+    it, a bare pallas_call has no GSPMD partitioning rule and
+    multi-device meshes must keep the XLA loop."""
     if kernel != "auto":
         return kernel
     import jax
     try:
-        # single-chip only: the decode jit shards batch over 'data'
-        # via GSPMD, and a pallas_call has no SPMD partitioning rule —
-        # multi-device meshes keep the (sharding-proven) XLA loop
         return ("pallas" if jax.default_backend() == "tpu"
-                and len(jax.devices()) == 1 else "xla")
+                and (sharded_ok or len(jax.devices()) == 1) else "xla")
     except Exception:
         return "xla"
 

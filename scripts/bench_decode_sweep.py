@@ -43,6 +43,9 @@ def main():
                    help="speaker.decode_kernel: 'pallas' runs the whole "
                         "greedy loop as one VMEM-resident kernel "
                         "(models/pallas_decode.py)")
+    p.add_argument("--pair_batch", action="store_true",
+                   help="change_detector.pair_batch: bef/aft through "
+                        "one [2B] relation-encoder pass")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -69,6 +72,9 @@ def main():
     platform = jax.devices()[0].platform
     cfg = default_config()
     cfg = cfg.replace(speaker=cfg.speaker.replace(decode_kernel=a.kernel))
+    if a.pair_batch:
+        cfg = cfg.replace(change_detector=cfg.change_detector.replace(
+            pair_batch=True))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
 

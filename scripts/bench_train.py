@@ -63,6 +63,10 @@ def main():
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation microbatches "
                         "(train.accum_steps)")
+    p.add_argument("--pair_batch", action="store_true",
+                   help="change_detector.pair_batch: bef/aft through "
+                        "one [2B] relation-encoder pass (3 GAT programs "
+                        "per step instead of 6)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -96,6 +100,9 @@ def main():
         cfg = cfg.replace(speaker=cfg.speaker.replace(remat=a.remat))
     if a.hoist:
         cfg = cfg.replace(speaker=cfg.speaker.replace(train_hoist=True))
+    if a.pair_batch:
+        cfg = cfg.replace(change_detector=cfg.change_detector.replace(
+            pair_batch=True))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
     tx = make_optimizer(cfg.train.optim)

@@ -812,3 +812,55 @@ def test_greedy_decode_batch_size_invariant(setup):
     np.testing.assert_array_equal(full, halves)
     singles = np.concatenate([decode(rows(i, i + 1)) for i in range(6)])
     np.testing.assert_array_equal(full, singles)
+
+
+def test_pair_batch_matches_two_pass():
+    """change_detector.pair_batch (bef/aft stacked into one [2B, ...]
+    encoder pass — the reference runs the shared-weight stack once per
+    image, modules.py:216-232) must be bit-identical in eval mode:
+    per-sample math is batch-row independent. Same param tree either
+    way; train mode differs only in the dropout draw, so check
+    finiteness + identical loss under dropout-off train semantics."""
+    cfg = tiny_config()
+    cfg_p = cfg.replace(change_detector=cfg.change_detector.replace(
+        pair_batch=True))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 3, seed=7))
+    model = EkaidModel(cfg, ntoken=NTOKEN, policy=F32)
+    model_p = EkaidModel(cfg_p, ntoken=NTOKEN, policy=F32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    # identical parameter trees: the knob must not change the checkpoint
+    params_p = model_p.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_p)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_p)):
+        assert a.shape == b.shape
+
+    o0 = model.apply(params, batch, train=False)
+    o1 = model_p.apply(params, batch, train=False)
+    for k in ("logprobs", "pred", "att_bef", "att_aft", "feat_diff",
+              "module_weights"):
+        np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]),
+                                      err_msg=k)
+
+    # gradients agree in eval-dropout mode (the knob only reorders the
+    # batch axis; backward is row-independent too)
+    def loss_fn(m):
+        return lambda p: total_loss(
+            m.apply(p, batch, train=False),
+            batch, cfg.train.att_reg_weight)[0]
+    l0, g0 = jax.value_and_grad(loss_fn(model))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(model_p))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-7)
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-7)
+
+    # train mode (real dropout): runs and stays finite
+    out = model_p.apply(params, batch, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(total_loss(
+        out, batch, cfg.train.att_reg_weight)[0]))

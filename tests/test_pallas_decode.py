@@ -97,6 +97,47 @@ def test_kernel_matches_xla_decoding_constraint(setup):
     _assert_match(ref, out)
 
 
+def test_kernel_sharded_matches_xla(setup):
+    """VERDICT r4 #4: the kernel under `jax.shard_map` over the 'data'
+    mesh axis (models/pallas_decode.py mesh= path) must be token-exact
+    vs the XLA loop — the decode is batch-parallel, each device shard
+    decodes independently with no cross-chip communication. Runs in
+    interpret mode on the conftest's 8 virtual CPU devices, both eager
+    and through jit with the batch sharded over 'data' (the real eval
+    path shape)."""
+    cfg, batch, params = setup
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices (conftest forces 8 CPU)")
+    from ekaid_tpu.parallel.mesh import make_mesh, shard_batch
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    ref = _decode(cfg, params, batch, False)
+    cfg_k = cfg.replace(speaker=cfg.speaker.replace(
+        decode_kernel="pallas_interpret"))
+    model = EkaidModel(cfg_k, ntoken=NTOKEN, policy=F32, decode_mesh=mesh)
+    out = model.apply(params, batch, method="decode", sample_max=True)
+    _assert_match(ref, out)
+    jit_dec = jax.jit(
+        lambda p, b: model.apply(p, b, method="decode", sample_max=True))
+    out_j = jit_dec(params, shard_batch(mesh, batch))
+    _assert_match(ref, out_j)
+
+
+def test_kernel_sharded_rejects_indivisible_batch(setup):
+    """B=3 over a 4-way data axis must fail loudly (the shard_map specs
+    would otherwise mis-shard silently)."""
+    cfg, batch, params = setup
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 devices")
+    from ekaid_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    cfg_k = cfg.replace(speaker=cfg.speaker.replace(
+        decode_kernel="pallas_interpret"))
+    model = EkaidModel(cfg_k, ntoken=NTOKEN, policy=F32, decode_mesh=mesh)
+    small = jax.tree.map(lambda x: x[:3], batch)
+    with pytest.raises(AssertionError, match="not divisible"):
+        model.apply(params, small, method="decode", sample_max=True)
+
+
 def test_kernel_rejects_conflicting_knobs(setup):
     """weight_quant/fused_core rewrite the XLA scan step; the pallas
     kernel replaces that loop wholesale — a combined config must fail
