@@ -198,6 +198,15 @@ class DataConfig:
     # batches always ship full-width. On-chip A/B (r4b queue, e2e):
     # 165.4 vs 87.5 pairs/s end-to-end (+89%) — default compact.
     eval_wire: str = "compact"
+    # Device-resident per-image feature cache for the eval decode loop
+    # (data/device_cache.py): >0 = cache that many images on-device and
+    # ship only miss rows + question tokens per batch. MIMIC-Diff-VQA
+    # asks ~4.3 questions per study pair, so the steady-state wire
+    # traffic drops ~4x on top of the compact wire. Tokens are
+    # bit-identical to the compact-wire path (tested). Single-device,
+    # greedy-decode eval only (Trainer.evaluate gates it); 1024 slots
+    # hold ~115 MB of HBM at flagship dims. 0 disables.
+    eval_device_cache: int = 1024
     train: SplitDataConfig = field(default_factory=SplitDataConfig)
     val: SplitDataConfig = field(
         default_factory=lambda: SplitDataConfig(batch_size=64))
@@ -363,6 +372,12 @@ class DetectorConfig:
     # reduction; DOCUMENTED DEVIATION, rpn.py::generate_proposals).
     # Training always sorts exactly.
     rpn_topk: str = "exact"
+    # Fuse the RPN objectness + delta 1x1 convs into one 15-channel
+    # conv (same params, bit-identical outputs — rpn.py::RPNHead):
+    # reads the big hidden maps once instead of twice and replaces two
+    # lane-padded small-channel stores with one. Default off pending
+    # the on-chip A/B (r5 queue, VERDICT r4 #8).
+    rpn_fused_preds: bool = False
 
 
 @_frozen

@@ -28,6 +28,7 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from ekaid_tpu.data.vocab import Vocabulary
+from ekaid_tpu.ops.graph import spatial_adjacency
 
 
 class FeatureStore:
@@ -610,6 +611,102 @@ def trim_batch_to_bucket(batch: Dict[str, np.ndarray], buckets,
                     out[k] = batch[k][:, :b + 1]
             return out
     return batch
+
+
+class ArrayFeatureStore(FeatureStore):
+    """In-memory store over precomputed per-image arrays — the
+    learnable synthetic corpus needs repeatable reads to be cheap on
+    the 1-CPU host (SyntheticFeatureStore regenerates rows per call)."""
+
+    def __init__(self, rows: Dict[str, np.ndarray]):
+        self.rows = rows
+
+    def get(self, idx: int) -> Dict[str, np.ndarray]:
+        return {k: v[int(idx)] for k, v in self.rows.items()}
+
+    def get_batch(self, idxs) -> Dict[str, np.ndarray]:
+        idxs = np.asarray(idxs, np.int64)
+        return {k: v[idxs] for k, v in self.rows.items()}
+
+    def __len__(self):
+        return len(next(iter(self.rows.values())))
+
+    def clone(self) -> "ArrayFeatureStore":
+        return self                       # ndarray reads are thread-safe
+
+
+def learnable_dataset(cfg, split: str = "train", n_pairs: int = 4096,
+                      n_images: int = 512, seed: int = 7
+                      ) -> DiffVQADataset:
+    """Synthetic corpus whose answers are DETERMINISTIC functions of the
+    image-pair features — learnable, unlike `synthetic_dataset`'s
+    random-token answers whose loss floors at the marginal entropy
+    (~4.13, r4b learn_curve). Built for the on-chip learning dress
+    rehearsal (train/eval loop of train_mimic.py:280-383): eval Bleu_1
+    and answer accuracy must climb far off their floors and
+    best-checkpoint selection must actually switch.
+
+    Construction: every image has one 'hot' node h = idx % num_nodes
+    whose features are shifted by +4 (a strong, attention-findable
+    signal). Pairs alternate two question families:
+      * open  ('what changed'-shaped): answer names BOTH hot nodes —
+        tokens [10 + h_bef, 80 + h_aft % 26]; requires routing
+        information from each image through the change encoder.
+      * closed ('is there change'): yes(3)/no(4) by whether the two
+        hot nodes coincide (pairs are drawn so ~half match).
+    Generalization-testable: the train/test splits share the image
+    pool but not the QA pairs, so a model that merely memorizes rows
+    scores ~0 on eval while one that learns the rule scores ~1."""
+    rng = np.random.default_rng(seed)
+    d = cfg.data
+    t = cfg.speaker.seq_length
+    n_nodes, feat = d.num_nodes, d.feature_dim
+
+    # --- image pool: N(0,1) + a +4 hot-node shift -------------------
+    feats = rng.standard_normal((n_images, n_nodes, feat)
+                                ).astype(np.float32)
+    hot = (np.arange(n_images) % n_nodes).astype(np.int64)
+    feats[np.arange(n_images), hot] += 4.0
+    x1 = rng.uniform(0, 800, (n_images, n_nodes))
+    y1 = rng.uniform(0, 800, (n_images, n_nodes))
+    w = rng.uniform(10, 500, (n_images, n_nodes))
+    h = rng.uniform(10, 500, (n_images, n_nodes))
+    bb = np.stack([x1, y1, np.minimum(x1 + w, 1024.0),
+                   np.minimum(y1 + h, 1024.0)], -1).astype(np.float32)
+    adj = np.zeros((n_images, d.adj_pad, d.adj_pad), np.int32)
+    adj[:, :n_nodes, :n_nodes] = spatial_adjacency(bb, xp=np)
+    sem = np.zeros((n_images, d.adj_pad, d.adj_pad), np.int32)
+    sem[:, :n_nodes, :n_nodes] = rng.integers(
+        0, 3, (n_images, n_nodes, n_nodes))
+    store = ArrayFeatureStore({"feats": feats, "bb": bb,
+                               "adj": adj, "sem_adj": sem})
+
+    # --- QA pairs ----------------------------------------------------
+    bef = rng.integers(0, n_images, n_pairs)
+    aft = rng.integers(0, n_images, n_pairs)
+    same = rng.random(n_pairs) < 0.5       # ~half matching hot nodes
+    for p in np.nonzero(same)[0]:
+        cands = np.nonzero(hot == hot[bef[p]])[0]
+        aft[p] = cands[rng.integers(0, len(cands))]
+    feature_idx = np.stack([bef, aft], -1).astype(np.int64)
+
+    tq = cfg.question.max_len
+    questions = np.zeros((n_pairs, tq), np.int32)
+    answers = np.zeros((n_pairs, t), np.int32)
+    pos = np.zeros((n_pairs, t), np.int32)
+    is_open = (np.arange(n_pairs) % 2) == 0
+    questions[is_open, :3] = [5, 6, 7]            # 'what changed'
+    questions[~is_open, :2] = [8, 9]              # 'is there change'
+    hb, ha = hot[bef], hot[aft]
+    answers[:, 0] = 1                             # <start>
+    answers[is_open, 1] = 10 + hb[is_open]
+    answers[is_open, 2] = 80 + (ha[is_open] % 26)
+    answers[~is_open, 1] = np.where(hb[~is_open] == ha[~is_open], 3, 4)
+    pos[:, :3] = 1
+    arrays = {"questions": questions, "answers": answers, "pos": pos,
+              "feature_idx": feature_idx}
+    assert int(answers.max()) < cfg.speaker.vocab_size
+    return DiffVQADataset(cfg, store, split, arrays=arrays)
 
 
 def synthetic_dataset(cfg, split: str = "train", n_pairs: int = 512,

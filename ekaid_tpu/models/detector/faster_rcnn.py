@@ -44,7 +44,10 @@ class FasterRCNN(nn.Module):
                                   s2d_stem=getattr(self.cfg, "s2d_stem",
                                                    False),
                                   policy=self.policy, name="backbone")
-        self.rpn = RPNHead(policy=self.policy, name="rpn")
+        self.rpn = RPNHead(policy=self.policy,
+                           fused_preds=getattr(self.cfg,
+                                               "rpn_fused_preds", False),
+                           name="rpn")
         # 'auto' is resolved ONCE at the config/runner layer
         # (utils/platform.py::resolve_roi_backend, called by
         # extract/runner.py::build_detector_fns) — a device query here

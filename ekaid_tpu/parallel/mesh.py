@@ -39,9 +39,13 @@ def make_mesh(mesh_cfg=None, devices=None,
     if data is None or data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    # explicit sizes may pin a SMALLER mesh than the host exposes (the
+    # first data*model devices) — e.g. single-device eval on a
+    # multi-chip host, or CPU tests of single-device gates on the
+    # 8-virtual-device harness. Oversubscription still fails loudly.
+    assert data * model <= n, (
+        f"mesh {data}x{model} > {n} devices")
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

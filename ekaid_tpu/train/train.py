@@ -154,6 +154,37 @@ class Trainer:
         batch = {k: v for k, v in batch.items() if k != "pair_index"}
         return jax.tree.map(jnp.asarray, batch)
 
+    def _make_cached_decode(self, cache_slots: int):
+        """Greedy decode fed from the device-resident image cache
+        (data/device_cache.py). Returns fn(pair_idxs) -> decode outputs;
+        cache + jit persist across evaluate() calls so the periodic
+        in-training evals stay warm."""
+        from ekaid_tpu.data.device_cache import DeviceEvalCache
+        if getattr(self, "_eval_cache", None) is None:
+            self._eval_cache = DeviceEvalCache(self.eval_ds,
+                                               capacity=cache_slots)
+            model = self.model
+
+            @jax.jit
+            def decode(state, dev, d_slots, q_slots, question):
+                b = DeviceEvalCache.gather_batch(dev, d_slots, q_slots,
+                                                 question)
+                return model.apply(state.params, b, method="decode",
+                                   sample_max=True)
+
+            self._eval_cache_decode = decode
+        cache = self._eval_cache
+        questions = self.eval_ds.questions
+
+        def run(pair_idxs):
+            d_slots, q_slots = cache.ensure(pair_idxs)
+            return self._eval_cache_decode(
+                self.state, cache.dev_arrays(), jnp.asarray(d_slots),
+                jnp.asarray(q_slots),
+                jnp.asarray(questions[pair_idxs].astype(np.int32)))
+
+        return run
+
     # ------------------------------------------------------------ train ---
 
     def train(self, log_every: Optional[int] = None,
@@ -285,19 +316,44 @@ class Trainer:
             for j, sent in enumerate(self.vocab.decode_batch(seqs)):
                 predictions[str(int(pair_index[j]))] = sent
 
-        pending = None
-        for i, batch in enumerate(loader):
-            if max_batches is not None and i >= max_batches:
-                break
-            nxt = (batch["pair_index"],
-                   decode_fn(self.state,
-                             shard_batch(self.mesh,
-                                         self._device_batch(batch))))
+        # device-resident per-image feature cache (data/device_cache.py,
+        # config.data.eval_device_cache): the eval loop is H2D-wire
+        # bound and MIMIC asks ~4.3 questions per study pair — caching
+        # images on-device ships only miss rows + question tokens.
+        # Tokens are bit-identical to the wire path (tested). Gated to
+        # greedy single-device eval: slot state is host-side and a DP
+        # mesh would need per-shard caches.
+        cache_slots = getattr(self.cfg.data, "eval_device_cache", 0)
+        if (cache_slots > 0 and beam_size == 1 and self.mesh.size == 1
+                and self.cfg.data.feature_mode != "mode0"):
+            pending = None
+            cached_decode = self._make_cached_decode(cache_slots)
+            for i, idxs in enumerate(loader._batch_indices()):
+                if max_batches is not None and i >= max_batches:
+                    break
+                # enqueue batch i+1 (miss upload + scatter + decode are
+                # all async dispatches) before syncing batch i: the H2D
+                # of the next misses rides under the current decode
+                nxt = (idxs, cached_decode(idxs))
+                if pending is not None:
+                    flush(*pending)
+                pending = nxt
             if pending is not None:
                 flush(*pending)
-            pending = nxt
-        if pending is not None:
-            flush(*pending)
+        else:
+            pending = None
+            for i, batch in enumerate(loader):
+                if max_batches is not None and i >= max_batches:
+                    break
+                nxt = (batch["pair_index"],
+                       decode_fn(self.state,
+                                 shard_batch(self.mesh,
+                                             self._device_batch(batch))))
+                if pending is not None:
+                    flush(*pending)
+                pending = nxt
+            if pending is not None:
+                flush(*pending)
 
         if not predictions:
             return {k: 0.0 for k in CaptionEvaluator.METRICS}, predictions
@@ -334,10 +390,22 @@ class Trainer:
 
 
 def build_synthetic_trainer(cfg: Config, workdir: str,
-                            n_pairs: int = 512) -> Trainer:
+                            n_pairs: int = 512,
+                            corpus: str = "random") -> Trainer:
+    """corpus='random': random-token answers (loss floors at the
+    marginal entropy — optimization smoke only). corpus='learnable':
+    answers are deterministic functions of the pair's features
+    (data/pipeline.py::learnable_dataset) — eval Bleu_1/accuracy can
+    reach ~1.0, so best-checkpoint selection and the full train→eval
+    →snapshot loop (train_mimic.py:280-383) get a real signal."""
     vocab = identity_vocab(cfg.speaker.vocab_size)
-    train_ds = synthetic_dataset(cfg, "train", n_pairs=n_pairs)
-    eval_ds = synthetic_dataset(cfg, "test", n_pairs=n_pairs)
+    if corpus == "learnable":
+        from ekaid_tpu.data.pipeline import learnable_dataset
+        train_ds = learnable_dataset(cfg, "train", n_pairs=n_pairs * 8)
+        eval_ds = learnable_dataset(cfg, "test", n_pairs=n_pairs * 8)
+    else:
+        train_ds = synthetic_dataset(cfg, "train", n_pairs=n_pairs)
+        eval_ds = synthetic_dataset(cfg, "test", n_pairs=n_pairs)
     return Trainer(cfg, workdir, train_ds, eval_ds, vocab)
 
 
@@ -378,6 +446,13 @@ def main(argv=None):
     p.add_argument("--eval_target", default="test",
                    choices=["test", "val"])
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_corpus", default="random",
+                   choices=["random", "learnable"],
+                   help="'learnable': answers are deterministic "
+                        "functions of the pair features "
+                        "(data/pipeline.py::learnable_dataset) — eval "
+                        "Bleu_1 has real headroom instead of the "
+                        "random-token entropy floor")
     p.add_argument("--max_iter", type=int, default=None)
     p.add_argument("--snapshot_interval", type=int, default=None)
     p.add_argument("--workdir", default=None)
@@ -416,7 +491,8 @@ def main(argv=None):
     workdir = a.workdir or os.path.join(cfg.exp_dir, "temp", exp)
 
     if a.synthetic:
-        trainer = build_synthetic_trainer(cfg, workdir)
+        trainer = build_synthetic_trainer(cfg, workdir,
+                                          corpus=a.synthetic_corpus)
     else:
         trainer = build_trainer(cfg, workdir, a.eval_target)
     if a.resume and trainer.ckpt.latest_step() is not None:

@@ -56,6 +56,9 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--norm", default="frozen_bn")
     p.add_argument("--image_size", type=int, default=1024)
+    p.add_argument("--fused_preds", action="store_true",
+                   help="rpn_fused_preds: objectness+deltas as one "
+                        "15-channel conv (bit-identical; VERDICT r4 #8)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -131,7 +134,9 @@ def main():
         @nn.compact
         def __call__(self, feats):
             logits, deltas = RPNHead(channels=256, num_anchors=3,
-                                     policy=policy, name="head")(feats)
+                                     policy=policy,
+                                     fused_preds=a.fused_preds,
+                                     name="head")(feats)
             return (sum(l.sum() for l in logits)
                     + sum(d.sum() for d in deltas))
 

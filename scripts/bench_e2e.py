@@ -37,7 +37,7 @@ from bench_loader import ensure_fixture, fixture_dataset  # noqa: E402
 def run_e2e(batch_size: int = 64, pairs: int = 1664,
             images: int = 512, threads: int = -1,
             h5_path: str = "/tmp/bench_loader_feats.hdf5",
-            wire: str = "compact") -> dict:
+            wire: str = "compact", device_cache: int = 0) -> dict:
     """Returns {'e2e_pairs_per_sec': ..., ...}. Call with the device
     already claimed by this process (bench.py) or standalone."""
     import jax
@@ -75,21 +75,48 @@ def run_e2e(batch_size: int = 64, pairs: int = 1664,
         return model.apply(params, b, method="decode",
                            sample_max=True)["seq"]
 
+    cache = None
+    if device_cache:
+        # device-resident per-image cache (VERDICT r4 #6): only miss
+        # rows + question tokens cross the wire; see data/device_cache
+        from ekaid_tpu.data.device_cache import DeviceEvalCache
+        cache = DeviceEvalCache(ds, capacity=device_cache)
+
+        @jax.jit
+        def decode_cached(params, dev, d_slots, q_slots, question):
+            b = DeviceEvalCache.gather_batch(dev, d_slots, q_slots,
+                                             question)
+            return model.apply(params, b, method="decode",
+                               sample_max=True)["seq"]
+
     def epoch(time_it: bool):
         """One full pipelined epoch; returns (pairs_done, seconds,
         sentences_detokenized)."""
         n_done, n_sent = 0, 0
         pending = None
         t0 = time.perf_counter()
-        for b in loader:
-            dev = {k: jnp.asarray(v) for k, v in b.items()
-                   if k != "pair_index"}
-            nxt = decode(params, dev)           # enqueue (async dispatch)
-            if pending is not None:
-                seqs = np.asarray(pending)      # true sync: D2H fetch
-                n_sent += len(vocab.decode_batch(seqs))
-            pending = nxt
-            n_done += b["d_feats"].shape[0]
+        if cache is not None:
+            for idxs in loader._batch_indices():
+                d_slots, q_slots = cache.ensure(idxs)
+                nxt = decode_cached(
+                    params, cache.dev_arrays(), jnp.asarray(d_slots),
+                    jnp.asarray(q_slots),
+                    jnp.asarray(ds.questions[idxs].astype(np.int32)))
+                if pending is not None:
+                    seqs = np.asarray(pending)  # true sync: D2H fetch
+                    n_sent += len(vocab.decode_batch(seqs))
+                pending = nxt
+                n_done += len(idxs)
+        else:
+            for b in loader:
+                dev = {k: jnp.asarray(v) for k, v in b.items()
+                       if k != "pair_index"}
+                nxt = decode(params, dev)       # enqueue (async dispatch)
+                if pending is not None:
+                    seqs = np.asarray(pending)  # true sync: D2H fetch
+                    n_sent += len(vocab.decode_batch(seqs))
+                pending = nxt
+                n_done += b["d_feats"].shape[0]
         if pending is not None:
             seqs = np.asarray(pending)
             n_sent += len(vocab.decode_batch(seqs))
@@ -98,7 +125,7 @@ def run_e2e(batch_size: int = 64, pairs: int = 1664,
     epoch(False)                                 # warm: compile + cache
     n, dt, n_sent = epoch(True)
     import jax as _jax
-    return {
+    out = {
         "e2e_pairs_per_sec": round(n / dt, 1),
         "pairs": n, "sentences": n_sent, "batch": batch_size,
         "wire": wire, "loader_threads": threads,
@@ -107,6 +134,10 @@ def run_e2e(batch_size: int = 64, pairs: int = 1664,
         "note": ("loader->decode->detokenize overlapped; every batch's "
                  "tokens fetched to host (test_mimic.py:136-137 parity)"),
     }
+    if cache is not None:
+        out["device_cache"] = device_cache
+        out["cache_stats"] = cache.stats()
+    return out
 
 
 def main():
@@ -119,6 +150,10 @@ def main():
                    choices=["f32", "compact", "both"],
                    help="H2D wire dtypes (data/pipeline.py compact_wire)"
                         "; 'both' prints one row per mode (A/B)")
+    p.add_argument("--device_cache", type=int, default=0,
+                   help="device-resident image-feature cache slots "
+                        "(data/device_cache.py); only miss rows + "
+                        "question tokens cross the wire. 0 = off")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -134,7 +169,9 @@ def main():
     modes = ["f32", "compact"] if a.wire == "both" else [a.wire]
     for wire in modes:
         print(json.dumps(run_e2e(a.batch, a.pairs, a.images, a.threads,
-                                 wire=wire)), flush=True)
+                                 wire=wire,
+                                 device_cache=a.device_cache)),
+              flush=True)
 
 
 if __name__ == "__main__":

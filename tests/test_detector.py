@@ -271,3 +271,27 @@ def test_s2d_stem_is_exact(rng):
         np.testing.assert_allclose(np.asarray(gotp[k]),
                                    np.asarray(wantp[k]),
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_rpn_fused_preds_bit_identical():
+    """rpn_fused_preds runs objectness+deltas as ONE 15-channel conv
+    over the shared hidden map (rpn.py::RPNHead). Each conv output
+    channel is an independent dot product, so the fused path must be
+    BIT-identical with the same params — and the param tree must not
+    change (checkpoint/converter compatibility)."""
+    from ekaid_tpu.models.detector.rpn import RPNHead
+    import chex
+    rng = np.random.default_rng(3)
+    feats = [jnp.asarray(rng.standard_normal((2, s, s, 32), np.float32))
+             for s in (16, 8, 4)]
+    base = RPNHead(channels=32)
+    fused = RPNHead(channels=32, fused_preds=True)
+    params = base.init(jax.random.PRNGKey(0), feats)
+    chex.assert_trees_all_equal_structs(
+        params, fused.init(jax.random.PRNGKey(0), feats))
+    lg0, bx0 = base.apply(params, feats)
+    lg1, bx1 = fused.apply(params, feats)
+    for a, b in zip(lg0, lg1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(bx0, bx1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
