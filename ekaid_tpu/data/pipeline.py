@@ -647,8 +647,13 @@ def learnable_dataset(cfg, split: str = "train", n_pairs: int = 4096,
     best-checkpoint selection must actually switch.
 
     Construction: every image has one 'hot' node h = idx % num_nodes
-    whose features are shifted by +4 (a strong, attention-findable
-    signal). Pairs alternate two question families:
+    whose features are shifted by a fixed CLASS-SPECIFIC pattern
+    (4x a unit-scale random direction per h). The pattern matters: a
+    class-independent shift would mark WHERE the hot node is but carry
+    no signal about WHICH index h is — the question-guided attention
+    pools node features into one vector, so the class identity must
+    live in the feature content, not the node position. Pairs
+    alternate two question families:
       * open  ('what changed'-shaped): answer names BOTH hot nodes —
         tokens [10 + h_bef, 80 + h_aft % 26]; requires routing
         information from each image through the change encoder.
@@ -662,11 +667,12 @@ def learnable_dataset(cfg, split: str = "train", n_pairs: int = 4096,
     t = cfg.speaker.seq_length
     n_nodes, feat = d.num_nodes, d.feature_dim
 
-    # --- image pool: N(0,1) + a +4 hot-node shift -------------------
+    # --- image pool: N(0,1) + a class-coded hot-node pattern ---------
     feats = rng.standard_normal((n_images, n_nodes, feat)
                                 ).astype(np.float32)
     hot = (np.arange(n_images) % n_nodes).astype(np.int64)
-    feats[np.arange(n_images), hot] += 4.0
+    patterns = rng.standard_normal((n_nodes, feat)).astype(np.float32)
+    feats[np.arange(n_images), hot] += 4.0 * patterns[hot]
     x1 = rng.uniform(0, 800, (n_images, n_nodes))
     y1 = rng.uniform(0, 800, (n_images, n_nodes))
     w = rng.uniform(10, 500, (n_images, n_nodes))

@@ -56,6 +56,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--norm", default="frozen_bn")
     p.add_argument("--image_size", type=int, default=1024)
+    p.add_argument("--only", default="",
+                   help="comma list of group names to run (default all)")
     p.add_argument("--fused_preds", action="store_true",
                    help="rpn_fused_preds: objectness+deltas as one "
                         "15-channel conv (bit-identical; VERDICT r4 #8)")
@@ -157,6 +159,9 @@ def main():
         ("rpn", RPN(), [pyramid_shapes]),
     ]
 
+    if a.only:
+        keep = set(a.only.split(","))
+        groups = [g for g in groups if g[0] in keep]
     rng = np.random.default_rng(0)
     for name, mdl, in_shapes in groups:
         try:

@@ -48,6 +48,9 @@ def main():
     p.add_argument("--extract_topk", type=int, default=0,
                    help="extraction proposal budget (0 = all "
                         "post_nms_topk; detector.extract_topk A/B)")
+    p.add_argument("--fused_preds", action="store_true",
+                   help="detector.rpn_fused_preds: objectness+deltas "
+                        "as one conv (bit-identical; VERDICT r4 #8)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
 
@@ -80,6 +83,9 @@ def main():
     if a.extract_topk:
         cfg = cfg.replace(detector=cfg.detector.replace(
             extract_topk=a.extract_topk))
+    if a.fused_preds:
+        cfg = cfg.replace(detector=cfg.detector.replace(
+            rpn_fused_preds=True))
     det = cfg.detector
     rng = np.random.default_rng(0)
 
@@ -126,6 +132,7 @@ def main():
         rec = {"batch": b, "platform": platform,
                "norm": cfg.detector.norm,
                "extract_topk": det.extract_topk,
+               "rpn_fused_preds": getattr(det, "rpn_fused_preds", False),
                "image_size": det.image_size,
                "images_per_sec": round(b / dt, 2),
                "ms_per_image": round(dt * 1e3 / b, 2),

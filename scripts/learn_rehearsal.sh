@@ -1,0 +1,64 @@
+#!/usr/bin/env bash
+# On-chip learning dress rehearsal (VERDICT r4 #7): train the flagship
+# model on the LEARNABLE synthetic corpus (answers are deterministic
+# functions of the pair's features — data/pipeline.py::
+# learnable_dataset) until eval Bleu_1 climbs well off its floor, with
+# a mid-run SIGTERM preemption + exact resume, exercising the full
+# train→eval→snapshot→best-checkpoint loop (train_mimic.py:280-383) on
+# the real chip. Run single-flight.
+# Usage: bash scripts/learn_rehearsal.sh [workdir] [max_iter] [preempt_after_s]
+set -u
+cd "$(dirname "$0")/.."
+WD="${1:-/tmp/r5_learn}"
+MAXIT="${2:-900}"
+PREEMPT_S="${3:-480}"
+LOG="$WD/rehearsal.log"
+mkdir -p "$WD"
+
+run_train() {
+  python -m ekaid_tpu.train.train --synthetic --synthetic_corpus \
+    learnable --workdir "$WD" --max_iter "$MAXIT" \
+    --snapshot_interval 150 --eval_batches 4 --lr 1e-3 "$@"
+}
+
+echo "=== phase 1: train (will be preempted after ${PREEMPT_S}s) ==="
+run_train >> "$LOG" 2>&1 &
+PID=$!
+sleep "$PREEMPT_S"
+if kill -0 "$PID" 2>/dev/null; then
+  echo "sending SIGTERM (graceful: finishes the in-flight step, \
+checkpoints, exits)"
+  kill -TERM "$PID"
+  wait "$PID"; RC1=$?
+  echo "phase 1 exited rc=$RC1 (preempted)"
+  echo "=== phase 2: exact resume to completion ==="
+  run_train --resume >> "$LOG" 2>&1
+  echo "phase 2 exited rc=$?"
+else
+  wait "$PID" 2>/dev/null
+  echo "phase 1 finished before the preemption window"
+fi
+
+echo "=== metric trajectory ==="
+grep -E "^(epoch|eval @|resumed|Best)" "$LOG" | tail -40
+echo "=== summary row ==="
+python - "$WD" <<'EOF'
+import json, os, sys
+wd = sys.argv[1]
+rows = []
+p = os.path.join(wd, "metrics.jsonl")
+if os.path.exists(p):
+    rows = [json.loads(l) for l in open(p)]
+evals = [r for r in rows if any(k.startswith("eval/") for k in r)]
+bleus = [r.get("eval/Bleu_1") for r in evals if "eval/Bleu_1" in r]
+losses = [r["train/speaker_loss"] for r in rows
+          if "train/speaker_loss" in r]
+print(json.dumps({
+    "metric": "learn_rehearsal", "evals": len(bleus),
+    "bleu1_first": bleus[0] if bleus else None,
+    "bleu1_best": max(bleus) if bleus else None,
+    "bleu1_last": bleus[-1] if bleus else None,
+    "loss_first": losses[0] if losses else None,
+    "loss_last": losses[-1] if losses else None,
+}))
+EOF

@@ -73,6 +73,38 @@ def _build_dataset(cfg, vocab, n_pairs=32):
 
 
 @pytest.mark.slow
+def test_learnable_corpus_generalizes(tmp_path):
+    """The learnable synthetic corpus (data/pipeline.py::
+    learnable_dataset — answers are deterministic functions of the
+    pair's hot-node features) must be LEARNED, not memorized: the eval
+    split's QA pairs are disjoint from training, so Bleu_1/accuracy
+    only climb if the model picked up the feature→answer rule. This is
+    the CPU half of VERDICT r4 #7; the on-chip dress rehearsal runs the
+    same corpus at flagship dims (train_mimic.py:280-383 loop)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "smoke.yaml"))
+    cfg = cfg.replace(
+        speaker=cfg.speaker.replace(drop_prob_lm=0.0),
+        question=cfg.question.replace(dropout_att=0.0),
+        train=cfg.train.replace(
+            max_iter=900, snapshot_interval=450, log_interval=150,
+            optim=cfg.train.optim.replace(lr=2e-3, step_size=10 ** 6)),
+    )
+    from ekaid_tpu.train.train import build_synthetic_trainer
+    trainer = build_synthetic_trainer(cfg, str(tmp_path / "learn"),
+                                      n_pairs=64, corpus="learnable")
+    # 64*8=512 QA pairs -> train 410 / eval-test 52, disjoint
+    assert not set(map(int, trainer.train_ds.split_idxs)) & \
+        set(map(int, trainer.eval_ds.split_idxs))
+    last = trainer.train(log_every=150)
+    assert last["speaker_loss"] < 0.5, last
+    scores, preds = trainer.evaluate()
+    # generalization: unseen QA pairs answered by the learned rule
+    assert scores["Bleu_1"] >= 0.8, scores
+    assert scores["acc_total"] >= 0.6, scores
+
+
+@pytest.mark.slow
 def test_overfit_tiny_corpus(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(os.path.join(root, "configs", "smoke.yaml"))
