@@ -10,7 +10,7 @@
 set -u
 cd "$(dirname "$0")/.."
 WD="${1:-/tmp/r5_learn}"
-MAXIT="${2:-900}"
+MAXIT="${2:-1200}"
 PREEMPT_S="${3:-480}"
 LOG="$WD/rehearsal.log"
 mkdir -p "$WD"
@@ -18,7 +18,7 @@ mkdir -p "$WD"
 run_train() {
   python -m ekaid_tpu.train.train --synthetic --synthetic_corpus \
     learnable --workdir "$WD" --max_iter "$MAXIT" \
-    --snapshot_interval 150 --eval_batches 4 --lr 1e-3 "$@"
+    --snapshot_interval 200 --eval_batches 4 --lr 1e-3 "$@"
 }
 
 echo "=== phase 1: train (will be preempted after ${PREEMPT_S}s) ==="

@@ -124,11 +124,18 @@ def build_train(a):
     from ekaid_tpu.utils.dtypes import Policy, canonical
 
     cfg = default_config()
+    if getattr(a, "pair_batch", False):
+        cfg = cfg.replace(change_detector=cfg.change_detector.replace(
+            pair_batch=True))
     policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
     model = EkaidModel(cfg, ntoken=147, policy=policy)
     tx = make_optimizer(cfg.train.optim)
-    batch = jax.tree.map(jnp.asarray,
-                         synthetic_batch(cfg, a.batch, seed=0))
+    batch = synthetic_batch(cfg, a.batch, seed=0)
+    if getattr(a, "buckets", ""):
+        from ekaid_tpu.data.pipeline import trim_batch_to_bucket
+        batch = trim_batch_to_bucket(
+            batch, tuple(int(x) for x in a.buckets.split(",")))
+    batch = jax.tree.map(jnp.asarray, batch)
     state0 = init_state(model, tx, batch, jax.random.PRNGKey(0))
     tstep = partial(train_step, model, tx, cfg.train.att_reg_weight,
                     ss_prob=0.0)
@@ -297,6 +304,11 @@ def main():
     p.add_argument("--rpn_topk", default=None,
                    choices=["exact", "approx"])
     p.add_argument("--s2d", action="store_true")
+    p.add_argument("--pair_batch", action="store_true",
+                   help="train target: change_detector.pair_batch")
+    p.add_argument("--buckets", default="",
+                   help="train target: trim the answer axis to the "
+                        "smallest covering bucket (train.length_buckets)")
     p.add_argument("--force_cpu", action="store_true")
     a = p.parse_args()
     if a.batch is None:

@@ -58,6 +58,14 @@ run() {  # run <tag> <timeout_s> <cmd...>
   fi
 }
 
+# --- pair_batch b128 verification (r5b showed 2.08x at b128+bkt48 but
+# flat at b64/T90 — a shape-dependent cliff that big needs a same-window
+# repeat + a trace before any default flip; both executables warm) -----
+run train_base_b128_v2 2400 python scripts/bench_train.py --batch 128 --buckets 48
+run train_pair_b128_v2 2400 python scripts/bench_train.py --batch 128 --buckets 48 --pair_batch
+run prof_train_pair 2400 python scripts/profile_capture.py --target train --batch 128 --buckets 48 --pair_batch
+run prof_train_base 2400 python scripts/profile_capture.py --target train --batch 128 --buckets 48
+
 # --- e2e eval: device cache A/B (VERDICT r4 #6) ----------------------
 run e2e_base  2400 python scripts/bench_e2e.py --wire compact
 run e2e_cache 2400 python scripts/bench_e2e.py --wire compact --device_cache 1024
