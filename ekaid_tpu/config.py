@@ -69,9 +69,16 @@ class ChangeDetectorConfig:
     # doubled batch amortizes their fixed cost. Eval outputs are
     # bit-identical (per-sample math is batch-row independent); train
     # differs only in the dropout mask draw (same distribution) —
-    # tests/test_model.py pins both. Default off pending the on-chip
-    # A/B (r5 queue).
-    pair_batch: bool = False
+    # tests/test_model.py pins both.
+    #   'off'   — two sequential [B] passes everywhere (reference shape)
+    #   'on'    — one [2B] pass everywhere
+    #   'train' — [2B] pass under train=True only: the measured win is
+    #     shape-dependent (r5 on-chip A/B: train b128+bkt48 +108%, the
+    #     backward's [2B,52,52,H] fusions amortize; decode b128 −7.5%,
+    #     the eval encoder is already fusion-saturated there), so the
+    #     train step takes the fold and eval keeps the two-pass path.
+    # bool True/False (legacy) = 'on'/'off'.
+    pair_batch: str = "off"
 
 
 @_frozen

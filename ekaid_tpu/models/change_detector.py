@@ -234,13 +234,17 @@ class ChangeDetector(nn.Module):
                 "all", "implicit", "i+s") else None
             pos_aft = self._position_emb(q_bb) if self.graph in (
                 "all", "implicit", "i+s") else None
-            if c.pair_batch:
+            pb = c.pair_batch
+            if pb is True or pb == "on" or (pb == "train" and train):
                 # One [2B, …] pass through the shared-weight encoder
                 # stack instead of two sequential [B, …] passes
                 # (modules.py:216-232 runs the stack once per image).
                 # Per-sample math is batch-row independent, so eval is
                 # bit-identical to the two-pass path; train differs
                 # only in the dropout mask draw (tests/test_model.py).
+                # 'train' applies the fold to the train step only —
+                # see the config.py knob comment for the measured
+                # shape-dependence that motivates the split.
                 B = input_bef.shape[0]
                 enc = self._encode_image(
                     jnp.concatenate([input_bef, input_aft], axis=0),

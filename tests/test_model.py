@@ -864,3 +864,33 @@ def test_pair_batch_matches_two_pass():
                         rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.isfinite(float(total_loss(
         out, batch, cfg.train.att_reg_weight)[0]))
+
+
+def test_pair_batch_train_mode_splits_by_phase():
+    """pair_batch='train' folds the [2B] pass under train=True only:
+    eval output must be bit-identical to 'off' (two-pass), while the
+    train forward matches pair_batch='on' under the same dropout key
+    (both draw the [2B]-shaped masks)."""
+    cfg = tiny_config()
+    mk = lambda pb: EkaidModel(  # noqa: E731
+        cfg.replace(change_detector=cfg.change_detector.replace(
+            pair_batch=pb)), ntoken=NTOKEN, policy=F32)
+    m_off, m_tr, m_on = mk("off"), mk("train"), mk("on")
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 3, seed=11))
+    params = m_off.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True)
+
+    # eval: 'train' == 'off' exactly
+    o_off = m_off.apply(params, batch, train=False)
+    o_tr = m_tr.apply(params, batch, train=False)
+    for k in ("logprobs", "pred", "feat_diff"):
+        np.testing.assert_array_equal(np.asarray(o_off[k]),
+                                      np.asarray(o_tr[k]), err_msg=k)
+
+    # train: 'train' == 'on' exactly (same rng => same [2B] mask draw)
+    rngs = {"dropout": jax.random.PRNGKey(2), "sample": jax.random.PRNGKey(3)}
+    t_tr = m_tr.apply(params, batch, train=True, rngs=rngs)
+    t_on = m_on.apply(params, batch, train=True, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(t_tr["logprobs"]),
+                                  np.asarray(t_on["logprobs"]))
