@@ -347,6 +347,68 @@ def bench_extract(platform: str):
     return out
 
 
+def bench_train(platform: str, batch_size: int = 128,
+                bucket: int = 48):
+    """Train-step throughput at the measured-best supported operating
+    point (b128 + answer-length bucket 48, STATUS r4d) with the shipped
+    config defaults — incl. change_detector.pair_batch='train' (the [2B]
+    encoder fold, +108% on-chip at this shape, r5 A/B). Same slope
+    chaining as bench_qa; mirror of scripts/bench_train.py kept inline
+    so the driver bench holds one device claim."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from ekaid_tpu.config import default_config
+    from ekaid_tpu.data.pipeline import trim_batch_to_bucket
+    from ekaid_tpu.data.synthetic import synthetic_batch
+    from ekaid_tpu.models.ekaid import EkaidModel
+    from ekaid_tpu.train.step import (init_state, make_optimizer,
+                                      train_step)
+    from ekaid_tpu.utils.dtypes import Policy, canonical
+
+    cfg = default_config()
+    policy = Policy(compute_dtype=canonical(cfg.dtypes.compute_dtype))
+    model = EkaidModel(cfg, ntoken=147, policy=policy)
+    tx = make_optimizer(cfg.train.optim)
+    host_batch = trim_batch_to_bucket(
+        synthetic_batch(cfg, batch_size, seed=0), (bucket,),
+        cfg.speaker.seq_length)
+    scan_t = host_batch["labels"].shape[1] - 1
+    batch = jax.tree.map(jnp.asarray, host_batch)
+    state = init_state(model, tx, batch, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    step = jax.jit(partial(train_step, model, tx,
+                           cfg.train.att_reg_weight, ss_prob=0.0),
+                   donate_argnums=(0,))
+    tflops = _program_tflops(step, state, batch, rng)
+    # + the while-body trips cost_analysis omits (fwd body counted
+    # once; bwd ~2x fwd — see scripts/bench_train.py)
+    loop_tflops = _decode_loop_tflops(state.params, batch_size,
+                                      steps=1) * 3 * max(scan_t - 1, 0)
+    state, metrics = step(state, batch, rng)
+    _ = np.asarray(metrics["total_loss"])
+
+    def chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, batch, rng)
+        _ = np.asarray(metrics["total_loss"])
+        return time.perf_counter() - t0
+
+    per, _fixed = _slope_time(chain, 5, 20)
+    out = {"train_pairs_per_sec": round(batch_size / per, 2),
+           "train_ms_per_step": round(per * 1e3, 2),
+           "train_batch": batch_size, "train_scan_steps": scan_t,
+           "train_pair_batch": cfg.change_detector.pair_batch}
+    total = tflops + loop_tflops
+    if total > 0 and platform == "tpu":
+        out["train_mfu_pct"] = round(100.0 * total * 1e12 / per
+                                     / V5E_BF16_PEAK, 2)
+    return out
+
+
 def _vs_baseline(pairs_per_sec: float, platform: str):
     """Ratio vs the measured same-host CPU anchor in BASELINE.json
     (reference torch greedy-decode loop, identical batch/shapes —
@@ -504,6 +566,21 @@ def main():
         record["e2e_skipped"] = (
             f"time-guard ({time.perf_counter() - t_start:.0f}s elapsed "
             f">= 1800s budget before the e2e attempt)")
+    # train-step throughput at the shipped best operating point
+    # (b128+bkt48, pair_batch='train'). Last phase: its compile is
+    # ~330s cold, so the guard only admits it when the run still has
+    # budget (warm runs reach here in ~300-1200s; a fully cold driver
+    # run skips it with the self-describing field).
+    if platform == "tpu" and time.perf_counter() - t_start < 2400:
+        try:
+            tr = bench_train(platform)
+            record.update(tr)
+        except Exception as e:
+            record["train_error"] = f"{type(e).__name__}: {e}"
+    elif platform == "tpu":
+        record["train_skipped"] = (
+            f"time-guard ({time.perf_counter() - t_start:.0f}s elapsed "
+            f">= 2400s before the train attempt)")
     print(json.dumps(record))
 
 
