@@ -146,10 +146,21 @@ def _slope_time(run_chain, n_lo: int, n_hi: int, repeats: int = 2):
 
     run_chain(n) must execute n serially-dependent device steps and end
     with a tiny device→host fetch. Runs `repeats` (lo, hi) pairs and
-    keeps the SMALLEST positive slope — relay congestion only ever adds
-    time, so the fastest pair is the least-contended estimate (observed
-    2x-slow outlier pairs on a busy relay). Returns (sec_per_iter,
-    fixed_latency_sec)."""
+    keeps the SMALLEST positive slope among pairs with a PLAUSIBLE
+    intercept — relay congestion only ever adds time, so the fastest
+    pair is the least-contended estimate (observed 2x-slow outlier
+    pairs on a busy relay). Returns (sec_per_iter, fixed_latency_sec).
+
+    Intercept plausibility (r5 hardening): the relay's true fixed
+    roundtrip is ~30-100 ms. When the SHORT chain alone hits
+    congestion, the fit shows up as a huge positive intercept and an
+    OPTIMISTIC slope — the one failure mode min-of-pairs amplifies
+    instead of rejects (r5b train_pair_b128: fixed 532 ms, slope 2.1x
+    fast, nearly flipped a default on a fiction). Pairs with
+    fixed > 250 ms are now demoted with the negative-intercept ones;
+    if every pair is implausible, fall back to the longest chain's
+    average (a mild overestimate of sec/iter, never a fiction)."""
+    FIXED_CAP_S = 0.25
     best = None
     for _ in range(max(1, repeats)):
         t_lo = run_chain(n_lo)
@@ -157,14 +168,14 @@ def _slope_time(run_chain, n_lo: int, n_hi: int, repeats: int = 2):
         per = (t_hi - t_lo) / (n_hi - n_lo)
         fixed = t_lo - n_lo * per
         # a clamped-negative intercept means the pair was nonlinear
-        # (congestion mid-chain) — prefer pairs with a sane intercept
-        key = (fixed < 0, per)
+        # (congestion mid-chain); a too-large one means the short chain
+        # was congested — prefer pairs with a sane intercept
+        key = (fixed < 0 or fixed > FIXED_CAP_S, per)
         if per > 0 and (best is None or key < best[0]):
             best = (key, per, max(fixed, 0.0))
-    if best is None:
-        # every pair was nonlinear/negative (hard congestion): fall
-        # back to the conservative average of the longest chain — an
-        # overestimate of sec/iter, never a negative rate
+    if best is None or best[0][0]:
+        # every pair was nonlinear (hard congestion): the conservative
+        # average of the longest chain — never a negative/fast fiction
         return t_hi / n_hi, 0.0
     return best[1], best[2]
 
@@ -351,10 +362,9 @@ def bench_train(platform: str, batch_size: int = 128,
                 bucket: int = 48):
     """Train-step throughput at the measured-best supported operating
     point (b128 + answer-length bucket 48, STATUS r4d) with the shipped
-    config defaults — incl. change_detector.pair_batch='train' (the [2B]
-    encoder fold, +108% on-chip at this shape, r5 A/B). Same slope
-    chaining as bench_qa; mirror of scripts/bench_train.py kept inline
-    so the driver bench holds one device claim."""
+    config defaults. Same slope chaining as bench_qa; mirror of
+    scripts/bench_train.py kept inline so the driver bench holds one
+    device claim."""
     import jax
     import jax.numpy as jnp
     import numpy as np

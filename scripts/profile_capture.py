@@ -134,7 +134,8 @@ def build_train(a):
     if getattr(a, "buckets", ""):
         from ekaid_tpu.data.pipeline import trim_batch_to_bucket
         batch = trim_batch_to_bucket(
-            batch, tuple(int(x) for x in a.buckets.split(",")))
+            batch, tuple(int(x) for x in a.buckets.split(",")),
+            cfg.speaker.seq_length)
     batch = jax.tree.map(jnp.asarray, batch)
     state0 = init_state(model, tx, batch, jax.random.PRNGKey(0))
     tstep = partial(train_step, model, tx, cfg.train.att_reg_weight,
