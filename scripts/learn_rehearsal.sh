@@ -16,9 +16,14 @@ LOG="$WD/rehearsal.log"
 mkdir -p "$WD"
 
 run_train() {
+  # lr 5e-4 + att_reg 0: the stable recipe from the CPU probes — 3e-3
+  # oscillates and the attention regularizer fights the hot-node
+  # attention the learnable corpus rewards (STATUS r5, tests/
+  # test_learning.py::test_learnable_corpus_generalizes).
   python -m ekaid_tpu.train.train --synthetic --synthetic_corpus \
     learnable --workdir "$WD" --max_iter "$MAXIT" \
-    --snapshot_interval 200 --eval_batches 4 --lr 1e-3 "$@"
+    --snapshot_interval 100 --eval_batches 4 --lr 5e-4 "$@" \
+    train.att_reg_weight 0.0
 }
 
 echo "=== phase 1: train (will be preempted after ${PREEMPT_S}s) ==="
