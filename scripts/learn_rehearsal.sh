@@ -15,6 +15,15 @@ PREEMPT_S="${3:-480}"
 LOG="$WD/rehearsal.log"
 mkdir -p "$WD"
 
+# Session scheduling escape hatch: a queue runs this as its last row,
+# but when wall-clock is short the driver session defers it in favour
+# of higher-priority rows and re-runs it directly with a smaller
+# MAXIT. The flag file is set/cleared by the session, not by CI.
+if [ -f /tmp/defer_learn_rehearsal ]; then
+  echo '{"deferred": "flag file /tmp/defer_learn_rehearsal present"}'
+  exit 0
+fi
+
 run_train() {
   # lr 5e-4 + att_reg 0: the stable recipe from the CPU probes — 3e-3
   # oscillates and the attention regularizer fights the hot-node
