@@ -73,8 +73,9 @@ run prof_train_b128 2400 python scripts/profile_capture.py --target train --batc
 # --- extract_topk certification (VERDICT r4 #2) ----------------------
 run certify_topk 7200 python scripts/certify_topk.py
 
-# --- final: full driver-shape bench (verifies the new train phase,
-# leaves b64/b128/extract/e2e/train executables warm for the driver) --
-run bench_final 5400 python bench.py
+# bench_final intentionally NOT here: the session runs `python bench.py`
+# itself after acting on the certification verdict (an extract_topk
+# default flip changes the extract program, and the final bench must
+# compile-warm the SHIPPED configuration for the driver's round-end run).
 
 echo "queue done -> $OUT"
