@@ -72,11 +72,14 @@ class ChangeDetectorConfig:
     # tests/test_model.py pins both.
     #   'off'   — two sequential [B] passes everywhere (reference shape)
     #   'on'    — one [2B] pass everywhere
-    #   'train' — [2B] pass under train=True only: the measured win is
-    #     shape-dependent (r5 on-chip A/B: train b128+bkt48 +108%, the
-    #     backward's [2B,52,52,H] fusions amortize; decode b128 −7.5%,
-    #     the eval encoder is already fusion-saturated there), so the
-    #     train step takes the fold and eval keeps the two-pass path.
+    #   'train' — [2B] pass under train=True only
+    # Measured verdict (r5): FLAT everywhere that matters — the r5b
+    # "+108% at b128+bkt48" row was a slope-fit glitch (short-chain
+    # congestion; the v2 same-window re-run reads base 2,840.6 vs pair
+    # 2,759.3 pairs/s, and the timing harness now rejects that fit
+    # shape — bench._slope_time). Decode b64 read +12% pre-hardening
+    # and is unconfirmed. Default 'off'; the knob stays as the
+    # recorded experiment with its equivalence tests.
     # bool True/False (legacy) = 'on'/'off'.
     pair_batch: str = "off"
 
