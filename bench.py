@@ -591,6 +591,23 @@ def main():
         record["train_skipped"] = (
             f"time-guard ({time.perf_counter() - t_start:.0f}s elapsed "
             f">= 2400s before the train attempt)")
+    if platform == "cpu-fallback":
+        # a wedged chip / dead relay at record time must not erase the
+        # round's real hardware data: embed the last on-chip numbers,
+        # clearly labeled as a replay with provenance (maintained from
+        # the session's single-flight queue runs)
+        try:
+            import os
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "docs", "perf", "last_tpu_bench.json")) as f:
+                record["last_tpu"] = json.load(f)
+            record["last_tpu_note"] = (
+                "REPLAY of the most recent on-chip measurements (see "
+                "last_tpu.sources) — NOT measured in this run; the "
+                "chip/relay was unreachable at record time")
+        except Exception:
+            pass
     print(json.dumps(record))
 
 
