@@ -35,9 +35,16 @@ run_train() {
     train.att_reg_weight 0.0
 }
 
-echo "=== phase 1: train (will be preempted after ${PREEMPT_S}s) ==="
+echo "=== phase 1: train (will be preempted ${PREEMPT_S}s after the first logged iter) ==="
 run_train >> "$LOG" 2>&1 &
 PID=$!
+# Arm the preemption timer only once training has actually STARTED
+# (first iter line logged): a SIGTERM during the remote compile lands
+# before the graceful handler is installed — the process dies rc=143
+# mid-claim, which can wedge the axon chip (memory/axon-tpu-quirks.md).
+while kill -0 "$PID" 2>/dev/null && ! grep -q "iter " "$LOG"; do
+  sleep 10
+done
 sleep "$PREEMPT_S"
 if kill -0 "$PID" 2>/dev/null; then
   echo "sending SIGTERM (graceful: finishes the in-flight step, \
